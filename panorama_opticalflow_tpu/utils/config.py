@@ -1,0 +1,97 @@
+"""Configuration dataclasses for the pixflow solver and stitch pipeline.
+
+Parity notes: hyperparameter presets mirror the reference factory
+``makeOpticalFlowByName`` (CPU/PixFlow.hpp:459-500) and the solver constants
+(CPU/PixFlow.hpp:32-44).  Everything here is a static (hashable) pytree-free
+config so it can be passed as a jit static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowParams:
+    """Hyperparameters of the pixflow dense optical-flow solver.
+
+    Mirrors CPU/PixFlow.hpp:32-68.  ``max_percentage`` selects the
+    brute-force initial search (0 = zero-init "pixflow_low",
+    20 = "pixflow_search_20", CPU/PixFlow.hpp:153-270).
+    """
+
+    # Factory presets (CPU/PixFlow.hpp:461-496)
+    pyr_scale_factor: float = 0.9
+    smoothness_coef: float = 0.001
+    vertical_regularization_coef: float = 0.01
+    horizontal_regularization_coef: float = 0.01
+    gradient_step_size: float = 0.5
+    downscale_factor: float = 0.5
+    directional_regularization_coef: float = 0.0
+    max_percentage: int = 0
+
+    # Solver constants (CPU/PixFlow.hpp:32-44)
+    pyr_min_image_size: int = 24
+    pyr_max_levels: int = 1000
+    grad_epsilon: float = 0.001
+    update_alpha_threshold: float = 0.9
+    median_blur_size: int = 5
+    pre_blur_kernel_width: int = 5
+    pre_blur_sigma: float = 0.25
+    final_flow_blur_kernel_width: int = 3
+    final_flow_blur_sigma: float = 1.0
+    gradient_blur_kernel_width: int = 3
+    gradient_blur_sigma: float = 0.5
+    blurred_flow_kernel_width: int = 15
+    blurred_flow_sigma: float = 8.0
+
+    # TPU-native relaxation schedule.  The reference CPU build runs two
+    # sequential raster sweeps per pyramid level (CPU/PixFlow.hpp:315-337);
+    # its own CUDA build replaces them with 10 rounds of a data-parallel
+    # 4-neighbour relaxation kernel (GPU/PixFlow_GPU.cu:274-290), proving the
+    # algorithm tolerates parallel (Jacobi) propagation.  We run
+    # ``relax_phases`` phases of ``relax_iters_per_phase`` Jacobi iterations,
+    # with a 5x5 median filter after each phase (the CPU build medians after
+    # each sweep, CPU/PixFlow.hpp:325,338).
+    relax_phases: int = 2
+    relax_iters_per_phase: int = 5
+
+    @property
+    def search_distance(self) -> int:
+        # CPU/PixFlow.hpp:153-155
+        return (self.pyr_min_image_size * self.max_percentage + 50) // 100
+
+
+def flow_params_by_name(name: str) -> FlowParams:
+    """Flow-algorithm factory, parity with CPU/PixFlow.hpp:459-500."""
+    if name == "pixflow_low":
+        return FlowParams(max_percentage=0)
+    if name == "pixflow_search_20":
+        return FlowParams(max_percentage=20)
+    raise ValueError(f"unrecognized flow algorithm name: {name}")
+
+
+@dataclasses.dataclass(frozen=True)
+class StitchConfig:
+    """End-to-end stitch pipeline configuration.
+
+    Wrap-extension fractions mirror the reference: the flow inputs are
+    extended by cols/20 on each side (CPU/OpticalFlow.cpp:113-126) and the
+    blend map by cols/5 (CPU/StitchTool.cpp:102-111); both are manual
+    periodic halos on the equirectangular (x-wrapping) canvas.
+    """
+
+    flow_alg: str = "pixflow_low"
+    # Denominators of the wrap-extension widths (cols // N).
+    flow_extend_div: int = 20
+    blend_extend_div: int = 5
+    # Blend-field constants (CPU/StitchTool.cpp:130-143,148-158)
+    blend_step_div: int = 200          # ray stride = min(rows, cols)//200
+    blend_smooth_kernel_div: int = 130  # selective box blur = rows//130
+    blend_global_blur_div: int = 400    # final global box blur = rows//400
+    # Gather hole-search radius (CPU/StitchTool.cpp:77)
+    gather_search_radius: int = 100
+
+    @property
+    def flow_params(self) -> FlowParams:
+        return flow_params_by_name(self.flow_alg)
