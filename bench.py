@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end 6-photo equirectangular stitch latency.
+
+Headline config (BASELINE.md): 6 photos onto a 9000x4000 canvas,
+pixflow_low, iterative 5-pair stitching -- the reference reports <30 s on
+a CUDA-era GPU (README.md:10-12,35); target is <3 s on TPU.
+
+Prints ONE json line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": x}
+vs_baseline = reference_seconds / ours (>1 means faster than reference).
+
+Env overrides:
+  PANOSTITCH_BENCH_CANVAS=WxH   (default 9000x4000)
+  PANOSTITCH_BENCH_REPEATS=N    (default 1 timed repeat after warmup)
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_SECONDS = 30.0
+
+
+def main() -> None:
+    canvas = os.environ.get("PANOSTITCH_BENCH_CANVAS", "9000x4000")
+    repeats = int(os.environ.get("PANOSTITCH_BENCH_REPEATS", "1"))
+    w, h = (int(t) for t in canvas.split("x"))
+
+    from panorama_opticalflow_tpu.utils.runtime import init_runtime
+
+    init_runtime(verbose=False)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from panorama_opticalflow_tpu.models import pipeline
+    from panorama_opticalflow_tpu.utils import io as pio
+    from panorama_opticalflow_tpu.utils.config import StitchConfig
+
+    photos_np, top_np = pio.synthesize_fisheye_set(h, w, n=5, seed=0)
+    dev = jax.devices()[0]
+    photos = [jax.device_put(p, dev) for p in photos_np]
+    top = jax.device_put(top_np, dev)
+    cfg = StitchConfig(flow_alg="pixflow_low")
+
+    # warmup / compile (one pair compiles the whole program; shapes are
+    # shared by all 5 pairs)
+    t0 = time.time()
+    out = pipeline.stitch_pair(photos[0], top, cfg)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        result = top
+        for image_l in photos:
+            result = pipeline.stitch_pair(image_l, result, cfg)
+        result.block_until_ready()
+        best = min(best, time.time() - t0)
+
+    mp = h * w / 1e6
+    print(json.dumps({
+        "metric": f"6-photo {w}x{h} stitch latency (pixflow_low, "
+                  f"{jax.devices()[0].platform})",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_SECONDS / best, 2),
+        "canvas_mp": round(mp, 1),
+        "mp_per_s": round(5 * mp / best, 1),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,77 @@
+"""End-to-end stitch pipelines: the 6-input iterative driver and the
+4-input single-pass driver.
+
+Re-design of the two reference mains (CPU/main.cpp:47-110,
+CPU_4Input/main.cpp:47-119).  ``stitch_pair`` -- one full
+prepare -> flow -> novel-view -> gather pass over a canvas pair -- is a
+single jit-compiled program; the 6-input driver calls it 5 times with the
+accumulating panorama as R (all pairs share the canvas shape, so there is
+exactly one compilation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from panorama_opticalflow_tpu.models import novel_view, stitcher
+from panorama_opticalflow_tpu.ops import image as im
+from panorama_opticalflow_tpu.utils.config import StitchConfig
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stitch_pair(
+    image_l: jax.Array, image_r: jax.Array, cfg: StitchConfig
+) -> jax.Array:
+    """Stitch one canvas pair (the body of the reference's per-part loop,
+    CPU/main.cpp:60-101).  Inputs/outputs are (H, W, 4) uint8 RGBA on the
+    shared equirectangular canvas."""
+    ctx = stitcher.prepare(image_l, image_r, cfg)
+    flows = novel_view.prepare_flows(ctx.overlapped_l, ctx.overlapped_r, cfg)
+    merged = novel_view.combine_novel_views(
+        ctx.overlapped_l, ctx.overlapped_r,
+        flows.flow_l_to_r, flows.flow_r_to_l, ctx.blend)
+    return stitcher.gather_composite(ctx.map, image_l, image_r, merged, cfg)
+
+
+def stitch_six(
+    images: list[jax.Array], top: jax.Array, cfg: StitchConfig,
+    on_part=None,
+) -> jax.Array:
+    """Iterative 6-input stitch (CPU/main.cpp:60-105): R starts as the top
+    image and accumulates the panorama; L is photo i for i = 1..5.
+    ``on_part(i, result)`` is called after each pass (the reference writes
+    ProcessResult{i}.png there)."""
+    result = top
+    for i, image_l in enumerate(images, start=1):
+        result = stitch_pair(image_l, result, cfg)
+        if on_part is not None:
+            on_part(i, result)
+    return result
+
+
+def precrop_columns(image: jax.Array) -> jax.Array:
+    """4-input column pre-crop (CPU_4Input/main.cpp:65-76): zero every
+    column whose middle-row alpha is zero."""
+    mid = image[image.shape[0] // 2, :, 3]
+    keep = (mid != 0).astype(image.dtype)[None, :, None]
+    return image * keep
+
+
+@jax.jit
+def compose_four(images: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Pre-crop and composite 4 wide-angle photos into the two canvases
+    (opposite cameras do not overlap): L = 1 + 3, R = 2 + 4
+    (CPU_4Input/main.cpp:79-80)."""
+    i1, i2, i3, i4 = (precrop_columns(images[k]) for k in range(4))
+    image_l = im.saturating_add_u8(i1, i3)
+    image_r = im.saturating_add_u8(i2, i4)
+    return image_l, image_r
+
+
+def stitch_four(images: list[jax.Array], cfg: StitchConfig) -> jax.Array:
+    """Single-pass 4-input stitch (CPU_4Input/main.cpp:47-119)."""
+    image_l, image_r = compose_four(jnp.stack(images))
+    return stitch_pair(image_l, image_r, cfg)

@@ -1,0 +1,317 @@
+"""Pixflow: pyramidal coarse-to-fine dense optical flow, TPU-native.
+
+Re-design of the reference solver (CPU/PixFlow.hpp:28-457).  The
+algorithmic skeleton is identical -- downscale, grey+alpha, pre-blur,
+~40-level 0.9-factor pyramid, per-level propagation+descent, median
+filtering, low-alpha diffusion, final upsample+blur -- but the per-level
+computation replaces the two *sequential* raster sweeps
+(CPU/PixFlow.hpp:315-337) with Jacobi-style parallel relaxation
+iterations, the formulation the reference's own CUDA build uses and
+validates (10 rounds of a 4-neighbour kernel, GPU/PixFlow_GPU.cu:274-290).
+Every level is a statically-shaped pure function, so the whole pyramid
+loop compiles into one XLA program with no host round trips (the
+reference GPU build ping-pongs host<->device ~10 Mats per level,
+GPU/PixFlow_GPU.cu:259-268).
+
+The error function is the CPU form (CPU/PixFlow.hpp:427-456); the CUDA
+variant's data term has a typo (GPU/PixFlow_GPU.cu:107) we deliberately
+do not reproduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from panorama_opticalflow_tpu.ops import image as im
+from panorama_opticalflow_tpu.ops.warp import bilinear_extend
+from panorama_opticalflow_tpu.utils.config import FlowParams
+
+# DirectionHint (CPU/PixFlow.hpp:19)
+HINTS = ("unknown", "right", "down", "left", "up")
+
+
+def pyramid_sizes(h: int, w: int, params: FlowParams) -> list[tuple[int, int]]:
+    """Level sizes, finest first (CPU/PixFlow.hpp:137-151): repeatedly
+    scale by 0.9 (+0.5 rounding) until either side would drop to <= 24."""
+    sizes = [(h, w)]
+    while len(sizes) < params.pyr_max_levels:
+        ph, pw = sizes[-1]
+        nh = int(ph * params.pyr_scale_factor + 0.5)
+        nw = int(pw * params.pyr_scale_factor + 0.5)
+        if nh <= params.pyr_min_image_size or nw <= params.pyr_min_image_size:
+            break
+        sizes.append((nh, nw))
+    return sizes
+
+
+def _build_pyramid(img: jax.Array, sizes: list[tuple[int, int]]) -> list[jax.Array]:
+    """Progressive linear downscale (each level from the previous one)."""
+    pyr = [img]
+    for s in sizes[1:]:
+        pyr.append(im.resize(pyr[-1], s, "linear"))
+    return pyr
+
+
+def error_function(
+    cand: jax.Array,
+    i0x: jax.Array,
+    i0y: jax.Array,
+    i1g: jax.Array,
+    blurred_flow: jax.Array,
+    params: FlowParams,
+) -> jax.Array:
+    """Vectorised errorFunction (CPU/PixFlow.hpp:427-456).
+
+    ``cand`` is an (H, W, 2) candidate flow field; ``i1g`` is the packed
+    (H, W, 2) gradient image (I1x, I1y) sampled with clamp-to-edge
+    bilinear at x + cand.  Returns per-pixel error (H, W).
+    """
+    h, w = cand.shape[:2]
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    g1 = bilinear_extend(i1g, xs + cand[..., 0], ys + cand[..., 1])
+    dx = i0x - g1[..., 0]
+    dy = i0y - g1[..., 1]
+    data = jnp.sqrt(dx * dx + dy * dy)
+    fd = blurred_flow - cand
+    smooth = jnp.sqrt(fd[..., 0] ** 2 + fd[..., 1] ** 2)
+    reg = (params.vertical_regularization_coef * jnp.abs(cand[..., 1])
+           + params.horizontal_regularization_coef * jnp.abs(cand[..., 0])) / w
+    return data + params.smoothness_coef * smooth + reg
+
+
+def _shift_with_valid(arr: jax.Array, dy: int, dx: int):
+    """Shift so out[y, x] = arr[y - dy, x - dx]; returns (shifted, valid)."""
+    h, w = arr.shape[:2]
+    pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))]
+    pad += [(0, 0)] * (arr.ndim - 2)
+    p = jnp.pad(arr, pad)
+    out = jax.lax.slice(
+        p, (max(-dy, 0), max(-dx, 0)) + (0,) * (arr.ndim - 2),
+        (max(-dy, 0) + h, max(-dx, 0) + w) + arr.shape[2:])
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = (yy - dy >= 0) & (yy - dy < h) & (xx - dx >= 0) & (xx - dx < w)
+    return out, valid
+
+
+def relax_iteration(
+    flow: jax.Array,
+    i0x: jax.Array,
+    i0y: jax.Array,
+    i1g: jax.Array,
+    blurred_flow: jax.Array,
+    update_mask: jax.Array,
+    params: FlowParams,
+) -> jax.Array:
+    """One Jacobi relaxation round: 4-neighbour propagation (accept
+    strictly-better proposals, CPU/PixFlow.hpp:342-362) + one
+    finite-difference gradient-descent step (CPU/PixFlow.hpp:364-386)."""
+    err = partial(error_function, i0x=i0x, i0y=i0y, i1g=i1g,
+                  blurred_flow=blurred_flow, params=params)
+    inf = jnp.float32(jnp.inf)
+
+    best_flow = flow
+    best_err = err(flow)
+    # proposal order mirrors the sweeps: left, up (sweep 1), right, down
+    # (sweep 2); strictly-better acceptance makes order a tie-break only.
+    for dy, dx in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+        cand, valid = _shift_with_valid(flow, dy, dx)
+        e = jnp.where(valid, err(cand), inf)
+        take = e < best_err
+        best_flow = jnp.where(take[..., None], cand, best_flow)
+        best_err = jnp.where(take, e, best_err)
+
+    eps = params.grad_epsilon
+    ex = err(best_flow + jnp.array([eps, 0.0], jnp.float32))
+    ey = err(best_flow + jnp.array([0.0, eps], jnp.float32))
+    grad = jnp.stack([(ex - best_err) / eps, (ey - best_err) / eps], axis=-1)
+    new = best_flow - params.gradient_step_size * grad
+    return jnp.where(update_mask[..., None], new, flow)
+
+
+def low_alpha_flow_diffusion(
+    flow: jax.Array, alpha0: jax.Array, alpha1: jax.Array, params: FlowParams
+) -> jax.Array:
+    """flow <- lerp(flow, gauss15x15sigma8(flow), 1 - a0*a1)
+    (CPU/PixFlow.hpp:388-405)."""
+    blurred = im.gaussian_blur(flow, params.blurred_flow_kernel_width,
+                               params.blurred_flow_sigma)
+    c = (1.0 - alpha0 * alpha1)[..., None]
+    return c * blurred + (1.0 - c) * flow
+
+
+def _shift_clamped(arr: jax.Array, dy: int, dx: int) -> jax.Array:
+    """out[y, x] = arr[clamp(y + dy), clamp(x + dx)] (replicate border)."""
+    h, w = arr.shape[:2]
+    r = max(abs(dy), abs(dx))
+    if r == 0:
+        return arr
+    p = im._pad_spatial(arr, r, r, "edge")
+    return jax.lax.slice(
+        p, (r + dy, r + dx) + (0,) * (arr.ndim - 2),
+        (r + dy + h, r + dx + w) + arr.shape[2:])
+
+
+def _box5_zero(arr: jax.Array) -> jax.Array:
+    """5x5 window sum, zero outside the image (used for patch SAD sums
+    where out-of-bounds i0 patch rows/cols are skipped,
+    CPU/PixFlow.hpp:163-180)."""
+    p = im._pad_spatial(arr, 2, 2, "constant")
+    h, w = arr.shape[:2]
+    out = jnp.zeros_like(arr)
+    for dy in range(5):
+        for dx in range(5):
+            out = out + jax.lax.slice(
+                p, (dy, dx) + (0,) * (arr.ndim - 2),
+                (dy + h, dx + w) + arr.shape[2:])
+    return out
+
+
+def search_box_offsets(hint: str, dist: int) -> list[tuple[int, int]]:
+    """computeSearchBox offsets in the reference's scan order (dy outer,
+    dx inner; CPU/PixFlow.hpp:207-224,249-263)."""
+    ratio = 8
+    ortho = (dist + ratio // 2) // ratio
+    if hint == "right":
+        xs, ys = range(0, dist + 1), range(-ortho, ortho + 1)
+    elif hint == "left":
+        xs, ys = range(-dist, 1), range(-ortho, ortho + 1)
+    elif hint == "down":
+        xs, ys = range(-ortho, ortho + 1), range(0, dist + 1)
+    elif hint == "up":
+        xs, ys = range(-ortho, ortho + 1), range(-dist, 1)
+    else:
+        raise ValueError(f"unexpected direction {hint}")
+    return [(dy, dx) for dy in ys for dx in xs]
+
+
+def adjust_initial_flow(
+    i0: jax.Array,
+    i1: jax.Array,
+    alpha0: jax.Array,
+    alpha1: jax.Array,
+    hint: str,
+    params: FlowParams,
+) -> jax.Array:
+    """Brute-force init at the coarsest level (CPU/PixFlow.hpp:226-270),
+    vectorised: every search offset becomes one shifted 5x5 box-filtered
+    SAD map; per-pixel argmin with a 0.8x bias toward zero flow."""
+    ratio = jnp.sum(alpha0 * alpha1 * i0) / jnp.sum(alpha0 * alpha1 * i1)
+    i1eq = i1 * ratio
+
+    dist = params.search_distance
+    offsets = search_box_offsets(hint, dist)
+    h, w = i0.shape
+
+    def patch_error(dy: int, dx: int) -> jax.Array:
+        shifted_i1 = _shift_clamped(i1eq, dy, dx)
+        shifted_a1 = _shift_clamped(alpha1, dy, dx)
+        sad = _box5_zero(jnp.abs(i0 - shifted_i1))
+        alpha = _box5_zero(alpha0 * shifted_a1)
+        length = jnp.float32((dx * dx + dy * dy) ** 0.5)
+        e = sad / alpha * (1.0 + length / dist)
+        # candidate centre must be in bounds (CPU/PixFlow.hpp:253)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        valid = ((yy + dy >= 0) & (yy + dy < h)
+                 & (xx + dx >= 0) & (xx + dx < w))
+        return jnp.where(valid, e, jnp.inf)
+
+    err00 = patch_error(0, 0)
+    # NaN err00 (zero alpha overlap) keeps zero flow in the reference's
+    # strict comparisons -> encode as -inf so the bias entry always wins.
+    bias = jnp.where(jnp.isnan(err00), -jnp.inf, 0.8 * err00)
+    errs = [bias] + [jnp.nan_to_num(patch_error(dy, dx), nan=jnp.inf)
+                     for dy, dx in offsets]
+    stack = jnp.stack(errs, axis=0)
+    # first occurrence wins ties == the reference's strictly-less update
+    choice = jnp.argmin(stack, axis=0)
+    cand = jnp.array([(0, 0)] + offsets, jnp.int32)  # (N, (dy, dx))
+    sel = cand[choice]  # (H, W, 2) as (dy, dx)
+    flow = jnp.stack([sel[..., 1], sel[..., 0]], axis=-1).astype(jnp.float32)
+    update = alpha0 > params.update_alpha_threshold
+    return jnp.where(update[..., None], flow, 0.0)
+
+
+def patch_match_level(
+    i0: jax.Array,
+    i1: jax.Array,
+    alpha0: jax.Array,
+    alpha1: jax.Array,
+    flow: jax.Array | None,
+    hint: str,
+    params: FlowParams,
+) -> jax.Array:
+    """One pyramid level (CPU/PixFlow.hpp:272-340)."""
+    gk, gs = params.gradient_blur_kernel_width, params.gradient_blur_sigma
+    i0x = im.gaussian_blur(im.sobel_x(i0), gk, gs)
+    i0y = im.gaussian_blur(im.sobel_y(i0), gk, gs)
+    i1x = im.gaussian_blur(im.sobel_x(i1), gk, gs)
+    i1y = im.gaussian_blur(im.sobel_y(i1), gk, gs)
+    i1g = jnp.stack([i1x, i1y], axis=-1)
+
+    coarsest = flow is None
+    if coarsest:
+        flow = jnp.zeros(i0.shape + (2,), jnp.float32)
+        if params.max_percentage > 0 and hint != "unknown":
+            flow = adjust_initial_flow(i0, i1, alpha0, alpha1, hint, params)
+
+    blurred_flow = im.gaussian_blur(flow, params.blurred_flow_kernel_width,
+                                    params.blurred_flow_sigma)
+    update_mask = ((alpha0 > params.update_alpha_threshold)
+                   & (alpha1 > params.update_alpha_threshold))
+
+    def one_iter(f, _):
+        return relax_iteration(f, i0x, i0y, i1g, blurred_flow,
+                               update_mask, params), None
+
+    phases = params.coarsest_relax_phases if coarsest else params.relax_phases
+    iters = (params.coarsest_relax_iters_per_phase if coarsest
+             else params.relax_iters_per_phase)
+    for _ in range(phases):
+        flow, _ = jax.lax.scan(one_iter, flow, None, length=iters)
+        flow = im.median5(flow)
+    return low_alpha_flow_diffusion(flow, alpha0, alpha1, params)
+
+
+def compute_optical_flow(
+    rgba0: jax.Array, rgba1: jax.Array, params: FlowParams, hint: str
+) -> jax.Array:
+    """Full solver (CPU/PixFlow.hpp:72-135): returns (H, W, 2) float32
+    flow at the input resolution.  Inputs are (H, W, 4) uint8 RGBA."""
+    h, w = rgba0.shape[:2]
+    dh, dw = int(h * params.downscale_factor), int(w * params.downscale_factor)
+    r0 = im.resize_u8(rgba0, (dh, dw), "cubic")
+    r1 = im.resize_u8(rgba1, (dh, dw), "cubic")
+
+    i0 = im.rgba_to_gray_u8(r0).astype(jnp.float32) / 255.0
+    i1 = im.rgba_to_gray_u8(r1).astype(jnp.float32) / 255.0
+    a0 = r0[..., 3].astype(jnp.float32) / 255.0
+    a1 = r1[..., 3].astype(jnp.float32) / 255.0
+
+    i0 = im.gaussian_blur(i0, params.pre_blur_kernel_width, params.pre_blur_sigma)
+    i1 = im.gaussian_blur(i1, params.pre_blur_kernel_width, params.pre_blur_sigma)
+
+    sizes = pyramid_sizes(dh, dw, params)
+    p_i0 = _build_pyramid(i0, sizes)
+    p_i1 = _build_pyramid(i1, sizes)
+    p_a0 = _build_pyramid(a0, sizes)
+    p_a1 = _build_pyramid(a1, sizes)
+
+    flow = None
+    for level in range(len(sizes) - 1, -1, -1):
+        flow = patch_match_level(p_i0[level], p_i1[level], p_a0[level],
+                                 p_a1[level], flow, hint, params)
+        if level > 0:
+            flow = im.resize(flow, sizes[level - 1], "cubic")
+            flow = flow * (1.0 / params.pyr_scale_factor)
+
+    flow = im.resize(flow, (h, w), "linear")
+    flow = flow * (1.0 / params.downscale_factor)
+    flow = im.gaussian_blur(flow, params.final_flow_blur_kernel_width,
+                            params.final_flow_blur_sigma)
+    return flow

@@ -1,0 +1,172 @@
+"""Stitch orchestration: canvas map, overlap extraction, seam-blend field,
+and final composite.
+
+TPU-native re-design of the reference ``Stitchtools`` class
+(CPU/StitchTool.{hpp,cpp}): instead of stateful Mats and per-pixel loops,
+each stage is a pure, jit-compatible function over the shared
+equirectangular canvas.  Canvas images are (H, W, 4) uint8 RGBA where
+alpha encodes footprint/validity (SURVEY.md section 1).
+
+Map codes (CPU/StitchTool.hpp:27, CPU/StitchTool.cpp:38-50):
+  0 = empty, 100 = L only, 50 = R only, 150 = overlap.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from panorama_opticalflow_tpu.ops import image as im
+from panorama_opticalflow_tpu.ops.distance import eight_ray_min_distance
+from panorama_opticalflow_tpu.utils.config import StitchConfig
+
+
+class StitchContext(NamedTuple):
+    """Per-pair stitch state (the reference's Stitchtools fields)."""
+
+    map: jax.Array          # (H, W) uint8 canvas map, codes {0,50,100,150}
+    overlapped_l: jax.Array  # (H, W, 4) uint8, L masked to overlap
+    overlapped_r: jax.Array  # (H, W, 4) uint8, R masked to overlap
+    blend: jax.Array        # (H, W) float32 in [0,1]
+    merged_dis: jax.Array   # (H, W) float32 distance to nearest pure region
+
+
+def match_images(image_l: jax.Array, image_r: jax.Array) -> jax.Array:
+    """Canvas map from the two alpha footprints (CPU/StitchTool.cpp:38-50)."""
+    a_l = im.threshold_binary(image_l[..., 3], 0, 100)
+    a_r = im.threshold_binary(image_r[..., 3], 0, 50)
+    return (a_l + a_r).astype(jnp.uint8)
+
+
+def extract_overlap(image: jax.Array, canvas_map: jax.Array) -> jax.Array:
+    """Zero the image outside the overlap region (CPU/StitchTool.cpp:17-33).
+
+    The reference multiplies every channel by the 0/1 mask Map > 140."""
+    mask = (canvas_map > 140).astype(jnp.uint8)
+    return image * mask[..., None]
+
+
+def generate_blend(
+    canvas_map: jax.Array, cfg: StitchConfig
+) -> tuple[jax.Array, jax.Array]:
+    """Seam-blend weight field over the overlap (CPU/StitchTool.cpp:98-191).
+
+    For each overlap pixel: the distance-weighted mix
+    ``blend = dL / (dL + dR)`` where dL/dR are the 8-ray strided min
+    distances to the pure-L (100) / pure-R (50) regions, computed on the
+    cols/5 wrap-extended map.  Vectorised here as scan-based distance
+    fields (ops/distance.py) instead of a per-pixel search -- the CUDA
+    variant's one-thread-per-pixel walk (GPU/StitchTool_GPU.cu:10-66)
+    becomes eight log-depth scans.
+
+    Returns (blend, merged_dis), both (H, W) float32.
+
+    Known deviation from the reference: its selective smoothing box-blurs
+    each step x step block *in place* in raster order so later blocks read
+    earlier blurred borders (CPU/StitchTool.cpp:134-142); we blur once
+    globally and select per block, which differs only at block borders and
+    is then smoothed again by the global rows/400 blur.
+    """
+    h, w = canvas_map.shape
+    length = w // cfg.blend_extend_div
+    ext = im.wrap_extend_x(canvas_map, length)
+
+    step = max(1, min(h, w) // cfg.blend_step_div)
+    max_i = w / 2.0  # ray index bound i < cols/2 (CPU/StitchTool.cpp:158)
+
+    d_l = eight_ray_min_distance(ext == 100, step, max_i)
+    d_r = eight_ray_min_distance(ext == 50, step, max_i)
+    d_l = im.crop_x(d_l, length)
+    d_r = im.crop_x(d_r, length)
+
+    none_val = jnp.float32(10.0 * w)  # reference init (CPU/StitchTool.cpp:155)
+    d_l = jnp.where(jnp.isinf(d_l), none_val, d_l)
+    d_r = jnp.where(jnp.isinf(d_r), none_val, d_r)
+
+    counted = d_l / (d_l + d_r)
+    merged_dis = jnp.minimum(d_l, d_r)
+
+    center = im.crop_x(ext, length)  # == canvas_map
+    blend = jnp.where(center == 100, 0.0,
+                      jnp.where(center == 50, 1.0,
+                                jnp.where(center == 150, counted, 0.5)))
+    merged_dis = jnp.where(center == 150, merged_dis, 0.0)
+
+    # Selective smoothing: blocks whose top-left MergedDis > step get a
+    # rows/130 box blur (CPU/StitchTool.cpp:130-142), then a global
+    # rows/400 box blur (CPU/StitchTool.cpp:143).
+    k_sel = h // cfg.blend_smooth_kernel_div
+    if k_sel >= 2:
+        blurred = im.box_blur(blend, k_sel, k_sel)
+        # block (by, bx) covers rows [by*step, by*step+step); only blocks
+        # fully inside (loop bound y + step < H) are smoothed.
+        hq, wq = h // step, w // step
+        sel = merged_dis[: hq * step : step, : wq * step : step] > step
+        # a block starting at q*step is processed iff q*step + step < dim
+        qy = jnp.arange(hq) * step + step < h
+        qx = jnp.arange(wq) * step + step < w
+        sel = sel & qy[:, None] & qx[None, :]
+        sel_full = jnp.zeros((h, w), bool)
+        sel_up = jnp.repeat(jnp.repeat(sel, step, axis=0), step, axis=1)
+        sel_full = sel_full.at[: hq * step, : wq * step].set(sel_up)
+        blend = jnp.where(sel_full, blurred, blend)
+
+    k_glob = h // cfg.blend_global_blur_div
+    if k_glob >= 2:
+        blend = im.box_blur(blend, k_glob, k_glob)
+
+    return blend.astype(jnp.float32), merged_dis
+
+
+def prepare(
+    image_l: jax.Array, image_r: jax.Array, cfg: StitchConfig
+) -> StitchContext:
+    """Stitchtools::prepare (CPU/StitchTool.cpp:7-36)."""
+    canvas_map = match_images(image_l, image_r)
+    overlapped_l = extract_overlap(image_l, canvas_map)
+    overlapped_r = extract_overlap(image_r, canvas_map)
+    blend, merged_dis = generate_blend(canvas_map, cfg)
+    return StitchContext(canvas_map, overlapped_l, overlapped_r, blend, merged_dis)
+
+
+def gather_composite(
+    ctx_map: jax.Array,
+    image_l: jax.Array,
+    image_r: jax.Array,
+    merged_middle: jax.Array,
+    cfg: StitchConfig,
+) -> jax.Array:
+    """Final composite (CPU/StitchTool.cpp:52-96).
+
+    code = Map + 75*(merged alpha > 0):
+      100 -> L, 50 -> R, {225,175,125} -> merged, 0 -> transparent,
+      75 -> zeros, 150 (overlap where the flow merge left a hole) ->
+      take L or R of the nearest pure region within ``gather_search_radius``
+      unit-stride ray steps (L wins ties), else opaque black.
+
+    The reference's per-pixel ray loop reads out of bounds (UB); here rays
+    simply stop at the canvas edge.
+    """
+    merged_a = im.threshold_binary(merged_middle[..., 3], 0, 75)
+    code = ctx_map + merged_a  # uint8, max 225
+
+    r = cfg.gather_search_radius
+    d_l = eight_ray_min_distance(code == 100, 1, float(r), diag_scale=1.0)
+    d_r = eight_ray_min_distance(code == 50, 1, float(r), diag_scale=1.0)
+
+    take_l = d_l <= d_r  # first-found priority: L checked before R each i
+    found = jnp.isfinite(jnp.minimum(d_l, d_r))
+    hole_black = jnp.array([0, 0, 0, 255], jnp.uint8)
+    hole = jnp.where(found[..., None],
+                     jnp.where(take_l[..., None], image_l, image_r),
+                     hole_black)
+
+    zero = jnp.zeros((4,), jnp.uint8)
+    out = jnp.where((code == 100)[..., None], image_l, zero)
+    out = jnp.where((code == 50)[..., None], image_r, out)
+    is_merged = (code == 225) | (code == 175) | (code == 125)
+    out = jnp.where(is_merged[..., None], merged_middle, out)
+    out = jnp.where((code == 150)[..., None], hole, out)
+    return out

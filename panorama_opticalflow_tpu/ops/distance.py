@@ -1,0 +1,150 @@
+"""Directional first-hit distance fields as associative scans.
+
+The reference computes seam-blend weights and hole fills with per-pixel
+8-ray searches (CPU/StitchTool.cpp:148-191 ``countblend`` and
+CPU/StitchTool.cpp:75-94 ``Gather``): from each pixel, walk rays in the 4
+axis and 4 diagonal directions with some stride and record the distance to
+the first pixel of a target class.  On GPU the reference parallelises the
+per-pixel walk (GPU/StitchTool_GPU.cu:10-66) but each thread still does an
+O(width) strided scan.
+
+TPU-native formulation: the first-hit distance along a direction is a
+*suffix min-scan* over that direction's lines.  For each of the 8
+directions we reindex the mask so the direction becomes a contiguous array
+axis (flips for the negative directions, shears for the diagonals, a
+stride reshape for the ray step), run one ``lax.associative_scan`` (log N
+vectorised passes on the VPU), and map back.  The result is bit-equivalent
+to the reference's ray semantics -- including its exact boundary
+conditions (``x - i > 0`` excludes row/column 0 for negative directions)
+-- with no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _first_hit_steps(mask: jax.Array, axis: int, reverse: bool) -> jax.Array:
+    """Steps (>=0) along ``axis`` to the first True at-or-after each
+    position (in scan direction); +inf where none."""
+    n = mask.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.float32, mask.shape, axis)
+    pos = jnp.where(mask, idx, _INF)
+    if reverse:
+        # looking toward decreasing index: first True at-or-before
+        best = jax.lax.associative_scan(jnp.maximum,
+                                        jnp.where(mask, idx, -_INF), axis=axis)
+        return idx - best
+    best = jax.lax.associative_scan(jnp.minimum, pos, reverse=True, axis=axis)
+    return best - idx
+
+
+def _strided_first_hit_x(mask: jax.Array, step: int, reverse: bool) -> jax.Array:
+    """First-hit pixel distance along +x (or -x) visiting only multiples of
+    ``step``: positions x, x+step, x+2*step, ..."""
+    h, w = mask.shape
+    if step == 1:
+        return _first_hit_steps(mask, axis=1, reverse=reverse)
+    wq = -(-w // step)
+    pad = wq * step - w
+    m = jnp.pad(mask, ((0, 0), (0, pad)))
+    m = m.reshape(h, wq, step)
+    d = _first_hit_steps(m, axis=1, reverse=reverse) * step
+    return d.reshape(h, wq * step)[:, :w]
+
+
+def _shear(mask: jax.Array, sign: int) -> jax.Array:
+    """Reindex so diagonals become columns.
+
+    sign=+1: out[y, x - y + (H-1)] = mask[y, x]  (conserves x - y; the
+    (+1,+1)/(-1,-1) diagonals are columns of the output).
+    sign=-1: out[y, x + y] = mask[y, x]          (conserves x + y; the
+    (+1,-1)/(-1,+1) diagonals are columns).
+    Out-of-range entries are False.
+    """
+    h, w = mask.shape
+    wc = w + h - 1
+    padded = jnp.pad(mask, ((0, 0), (0, wc - w + 1)))  # zeros tail to wrap into
+    c = jax.lax.broadcasted_iota(jnp.int32, (h, wc), 1)
+    y = jax.lax.broadcasted_iota(jnp.int32, (h, wc), 0)
+    x = (c - (h - 1) + y) if sign > 0 else (c - y)
+    src = jnp.where((x >= 0) & (x < w), x, w)  # w indexes the zero tail
+    return jnp.take_along_axis(padded, src, axis=1)
+
+
+def _unshear(arr: jax.Array, sign: int, w: int) -> jax.Array:
+    h = arr.shape[0]
+    y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    c = (x - y + (h - 1)) if sign > 0 else (x + y)
+    return jnp.take_along_axis(arr, c, axis=1)
+
+
+def _strided_first_hit_axis0(mask: jax.Array, step: int, reverse: bool) -> jax.Array:
+    if step == 1:
+        return _first_hit_steps(mask, axis=0, reverse=reverse)
+    h = mask.shape[0]
+    hq = -(-h // step)
+    pad = hq * step - h
+    m = jnp.pad(mask, ((0, pad),) + ((0, 0),) * (mask.ndim - 1))
+    m = m.reshape((hq, step) + mask.shape[1:])
+    d = _first_hit_steps(m, axis=0, reverse=reverse) * step
+    return d.reshape((hq * step,) + mask.shape[1:])[:h]
+
+
+def eight_ray_min_distance(
+    mask: jax.Array, step: int, max_i: float, diag_scale: float | None = None,
+    exclude_borders: bool = True,
+) -> jax.Array:
+    """Min distance from each pixel to a True pixel of ``mask`` along the
+    reference's 8 rays with stride ``step``, visiting i in
+    [0, step, 2*step, ...) with i < max_i.  Straight rays measure i,
+    diagonal rays i*diag_scale -- sqrt(2) for the blend field
+    (CPU/StitchTool.cpp:158-183) and 1 for Gather's hole search, which
+    counts raw ray steps (CPU/StitchTool.cpp:77-88).  Boundary semantics
+    match the reference: candidates at column 0 are invisible to -x rays
+    and at row 0 to -y rays (the ``> 0`` bound).  Returns +inf where no
+    ray hits.
+    """
+    mask = jnp.asarray(mask)
+    h, w = mask.shape
+    if exclude_borders:
+        no_col0 = mask.at[:, 0].set(False)
+        no_row0 = mask.at[0, :].set(False)
+        no_both = no_col0.at[0, :].set(False)
+    else:
+        # tiled callers pre-apply the global row-0/col-0 exclusions
+        no_col0 = no_row0 = no_both = mask
+
+    dists = []
+
+    def keep(d):
+        return jnp.where(d < max_i, d, _INF)
+
+    # straight rays
+    dists.append(keep(_strided_first_hit_x(mask, step, reverse=False)))
+    dists.append(keep(_strided_first_hit_x(no_col0, step, reverse=True)))
+    dists.append(keep(_strided_first_hit_axis0(mask, step, reverse=False)))
+    dists.append(keep(_strided_first_hit_axis0(no_row0, step, reverse=True)))
+
+    sq2 = math.sqrt(2.0) if diag_scale is None else diag_scale
+    # diagonals conserving x - y: down-right (+1,+1), up-left (-1,-1)
+    sh = _shear(mask, +1)
+    dists.append(_unshear(keep(_strided_first_hit_axis0(sh, step, False)), +1, w) * sq2)
+    sh = _shear(no_both, +1)
+    dists.append(_unshear(keep(_strided_first_hit_axis0(sh, step, True)), +1, w) * sq2)
+    # diagonals conserving x + y: down-left (+1,-1), up-right (-1,+1)
+    sh = _shear(no_col0, -1)
+    dists.append(_unshear(keep(_strided_first_hit_axis0(sh, step, False)), -1, w) * sq2)
+    sh = _shear(no_row0, -1)
+    dists.append(_unshear(keep(_strided_first_hit_axis0(sh, step, True)), -1, w) * sq2)
+
+    out = dists[0]
+    for d in dists[1:]:
+        out = jnp.minimum(out, d)
+    return out

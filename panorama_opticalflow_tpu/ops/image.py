@@ -72,7 +72,8 @@ def _resize_axis_plan(in_size: int, out_size: int, method: Method):
     else:  # pragma: no cover
         raise ValueError(method)
     idx = np.clip(taps, 0, in_size - 1).astype(np.int32)
-    return jnp.asarray(idx), jnp.asarray(w.astype(np.float32))
+    # numpy (not jnp) so the lru_cache never captures a tracer-backed array
+    return idx, w.astype(np.float32)
 
 
 def _resize_axis0(img: jax.Array, out_size: int, method: Method) -> jax.Array:
@@ -118,7 +119,8 @@ def gaussian_kernel_1d(ksize: int, sigma: float):
     i = np.arange(ksize, dtype=np.float64)
     k = np.exp(-((i - c) ** 2) / (2.0 * sigma * sigma))
     k = k / k.sum()
-    return jnp.asarray(k.astype(np.float32))
+    # numpy so the lru_cache never captures a tracer-backed array
+    return k.astype(np.float32)
 
 
 def _pad_spatial(img: jax.Array, ph: int, pw: int, mode: str) -> jax.Array:

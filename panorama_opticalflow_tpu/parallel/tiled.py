@@ -1,0 +1,588 @@
+"""Row-tiled (sharded) stitch pipeline with halo exchange over ICI.
+
+The TPU-native scaling design (SURVEY.md sections 2/5): the canvas and
+every pyramid level are tiled into row blocks across a 1-D device mesh.
+Rows -- not columns -- because the equirectangular canvas wraps in x
+(360 degrees): keeping x whole per device makes the reference's wrap
+extensions (CPU/OpticalFlow.cpp:113-126, CPU/StitchTool.cpp:102-111)
+local concats, while the open (non-periodic) y boundary gives clean halo
+exchange via ``ppermute``.
+
+Structure (everything inside one shard_map / one jit):
+
+* elementwise stages (map, overlap, combine weights) are trivially local;
+* stencil stages (blurs, medians, relaxation) run on halo-extended tiles
+  and crop the contaminated margin -- halo width is the stage's exact
+  receptive radius, computed statically;
+* resizes between pyramid levels gather source rows by *global* index
+  from the halo-extended tile (per-level static plans);
+* the blend/gather distance fields use the scan formulation of
+  ops/distance.py: x-direction scans are row-local; y and diagonal scans
+  run column-sharded over an all-gathered bitmask and return to row
+  sharding with an all_to_all -- work-parallel and exact;
+* pyramid levels too small to tile (local rows < threshold) are computed
+  replicated from an all_gather: identical work on every device, a
+  negligible fraction of total FLOPs (level sizes shrink by 0.9^2).
+
+Known deviations from the untiled program, both confined and validated by
+the tiled-vs-untiled SSIM/EPE tests: (a) global top/bottom boundary rows
+of stencil stages see reflect-fill instead of each op's native border
+mode; (b) flow sampling in the relaxation clamps to the halo extent, so
+|flow_y| influence beyond the per-level halo is truncated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from panorama_opticalflow_tpu.models import novel_view, pixflow, stitcher
+from panorama_opticalflow_tpu.ops import image as im
+from panorama_opticalflow_tpu.ops.distance import (
+    _first_hit_steps,
+    _shear,
+    _strided_first_hit_axis0,
+    _strided_first_hit_x,
+    eight_ray_min_distance,
+)
+from panorama_opticalflow_tpu.utils.config import FlowParams, StitchConfig
+
+# levels whose local row count would drop below this are computed
+# replicated (they are tiny: total work of all levels below any fixed
+# size is a geometrically-vanishing fraction).
+MIN_TILED_ROWS = 48
+# per-level halo: blurred-flow blur (7) + relax propagation (iters) +
+# 2 medians (4) + diffusion blur (7) + gradient setup (2) + |flow_y|
+# sampling margin.
+LEVEL_HALO = 48
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# Halo exchange
+# ---------------------------------------------------------------------------
+
+
+def _exchange_rows(x: jax.Array, halo: int, axis: str, fill: str | float = "reflect"
+                   ) -> jax.Array:
+    """Extend a local row tile by ``halo`` rows on each side with
+    neighbours' edge rows (ppermute); at the global top/bottom the halo is
+    reflect-filled (approximating the ops' border modes) or constant."""
+    if halo == 0:
+        return x
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    top = jax.lax.ppermute(x[-halo:], axis, [(d, d + 1) for d in range(n - 1)])
+    bot = jax.lax.ppermute(x[:halo], axis, [(d + 1, d) for d in range(n - 1)])
+    if fill == "reflect":
+        top_fill = x[1:halo + 1][::-1]
+        bot_fill = x[-halo - 1:-1][::-1]
+    else:
+        top_fill = jnp.full_like(x[:halo], fill)
+        bot_fill = jnp.full_like(x[:halo], fill)
+    is_first = (idx == 0)
+    is_last = (idx == n - 1)
+    top = jnp.where(is_first, top_fill, top)
+    bot = jnp.where(is_last, bot_fill, bot)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
+def _crop_rows(x: jax.Array, halo: int) -> jax.Array:
+    return x[halo:x.shape[0] - halo] if halo else x
+
+
+def _tiled_stencil(x: jax.Array, fn, radius: int, axis: str) -> jax.Array:
+    """Run a local stencil op of receptive radius ``radius`` exactly on a
+    row tile: halo-extend, apply, crop."""
+    return _crop_rows(fn(_exchange_rows(x, radius, axis)), radius)
+
+
+# ---------------------------------------------------------------------------
+# Tiled resize along rows (global-index gather)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RowResizePlan:
+    """Static plan for a row-sharded axis-0 resize H_a -> H_b over n tiles."""
+
+    h_a: int            # local rows held per device (ceil(H_a / n))
+    h_b: int            # local output rows per device
+    halo: int           # source halo needed
+    idx: np.ndarray     # (n * h_b, K) global source rows (clamped)
+    w: np.ndarray       # (n * h_b, K) weights
+
+
+def make_row_resize_plan(h_from: int, h_to: int, n: int, method: str
+                         ) -> RowResizePlan:
+    idx, w = im._resize_axis_plan(h_from, h_to, method)
+    h_a, h_b = _cdiv(h_from, n), _cdiv(h_to, n)
+    # pad the plan to n*h_b rows (repeat last row; outputs there are pad)
+    pad = n * h_b - h_to
+    idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad, 0)], 0)
+    w_p = np.concatenate([w, np.repeat(w[-1:], pad, 0)], 0)
+    halo = 0
+    for d in range(n):
+        rows = idx_p[d * h_b:(d + 1) * h_b]
+        halo = max(halo, d * h_a - int(rows.min()),
+                   int(rows.max()) - (d * h_a + h_a - 1))
+    return RowResizePlan(h_a, h_b, max(halo, 0), idx_p, w_p)
+
+
+def _tiled_resize_rows(x: jax.Array, plan: RowResizePlan, axis: str) -> jax.Array:
+    """Axis-0 resize of a row tile using the static global-index plan."""
+    d = jax.lax.axis_index(axis)
+    ext = _exchange_rows(x, plan.halo, axis)
+    idx = jax.lax.dynamic_slice(
+        jnp.asarray(plan.idx), (d * plan.h_b, 0), (plan.h_b, plan.idx.shape[1]))
+    w = jax.lax.dynamic_slice(
+        jnp.asarray(plan.w), (d * plan.h_b, 0), (plan.h_b, plan.w.shape[1]))
+    local = idx - (d * plan.h_a - plan.halo)
+    local = jnp.clip(local, 0, ext.shape[0] - 1)
+    k = idx.shape[1]
+    g = jnp.take(ext, local.reshape(-1), axis=0)
+    g = g.reshape((plan.h_b, k) + x.shape[1:])
+    wexp = w.reshape((plan.h_b, k) + (1,) * (x.ndim - 1))
+    return (g * wexp).sum(axis=1)
+
+
+def _tiled_resize_cols(x: jax.Array, out_w: int, method: str) -> jax.Array:
+    """Column resize is row-local (x stays whole per device)."""
+    return jnp.swapaxes(
+        im._resize_axis0(jnp.swapaxes(x.astype(jnp.float32), 0, 1), out_w, method),
+        0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Distributed eight-ray distance field
+# ---------------------------------------------------------------------------
+
+
+def _tiled_eight_ray(mask: jax.Array, step: int, max_i: float,
+                     diag_scale: float, axis: str, h_global: int) -> jax.Array:
+    """Distributed version of ops.distance.eight_ray_min_distance for a
+    row-sharded boolean mask ((h_local, W), global rows = n * h_local with
+    possible dead pad rows at the bottom; pad rows must be False).
+
+    x scans are row-local.  y and diagonal scans run column-sharded over
+    an all-gathered copy of the full (small, boolean) mask, then return to
+    row sharding with an all_to_all.  Semantics identical to the untiled
+    op, including the reference's row-0/col-0 exclusions for negative
+    directions.
+    """
+    n = jax.lax.axis_size(axis)
+    d = jax.lax.axis_index(axis)
+    h, w = mask.shape
+    hp = h * n  # padded global rows
+
+    inf = jnp.float32(jnp.inf)
+
+    def keep(dist):
+        return jnp.where(dist < max_i, dist, inf)
+
+    # global row index of local row 0
+    row0 = d * h
+    g_rows = jnp.arange(h)[:, None] + row0  # (h, 1) global row ids
+
+    # ---- straight x (row-local) ----
+    no_col0 = mask.at[:, 0].set(False)
+    d_xp = keep(_strided_first_hit_x(mask, step, reverse=False))
+    d_xm = keep(_strided_first_hit_x(no_col0, step, reverse=True))
+
+    # ---- full mask for column-sharded scans ----
+    full = jax.lax.all_gather(mask, axis, axis=0, tiled=True)  # (hp, W)
+
+    def col_scan(m_full, strip_w, reverse):
+        """Column-sharded strided scan along axis 0, returned row-sharded."""
+        wp = strip_w * n
+        m_p = jnp.pad(m_full, ((0, 0), (0, wp - m_full.shape[1])))
+        strip = jax.lax.dynamic_slice(m_p, (0, d * strip_w),
+                                      (m_p.shape[0], strip_w))
+        dist = _strided_first_hit_axis0(strip, step, reverse) * 1.0
+        # (hp, strip_w) col-sharded -> (h, wp) row-sharded
+        out = jax.lax.all_to_all(dist, axis, split_axis=0, concat_axis=1,
+                                 tiled=True)
+        return out  # (h, wp); caller slices [:, :needed]
+
+    # ---- straight y ----
+    wc = _cdiv(w, n)
+    no_row0 = jnp.where(jnp.arange(hp)[:, None] == 0, False, full)
+    d_yp = keep(col_scan(full, wc, False)[:, :w])
+    d_ym = keep(col_scan(no_row0, wc, True)[:, :w])
+
+    # ---- diagonals ----
+    sq2 = diag_scale
+    ws = w + hp - 1
+    wcs = _cdiv(ws, n)
+    x_ids = jnp.arange(ws)[None, :]
+
+    def unshear(dist_rows, sign):
+        # dist_rows: (h, n*wcs) row-sharded sheared distances
+        xs = jnp.arange(w)[None, :]
+        c = (xs - g_rows + (hp - 1)) if sign > 0 else (xs + g_rows)
+        c = jnp.clip(c, 0, dist_rows.shape[1] - 1)
+        return jnp.take_along_axis(dist_rows, c, axis=1)
+
+    full_nc0 = jnp.where(jnp.arange(w)[None, :] == 0, False, full)
+    full_nr0 = no_row0
+    full_nb = jnp.where(jnp.arange(w)[None, :] == 0, False, no_row0)
+
+    sh_pp = _shear(full, +1)        # conserves x - y: (+1,+1) down, (-1,-1) up
+    sh_pp_ex = _shear(full_nb, +1)
+    sh_pm = _shear(full_nc0, -1)    # conserves x + y: (+1,-1) down
+    sh_pm_ex = _shear(full_nr0, -1)  # (-1,+1) up
+
+    d_dr = keep(col_scan(sh_pp, wcs, False))
+    d_ul = keep(col_scan(sh_pp_ex, wcs, True))
+    d_dl = keep(col_scan(sh_pm, wcs, False))
+    d_ur = keep(col_scan(sh_pm_ex, wcs, True))
+
+    out = jnp.minimum(jnp.minimum(d_xp, d_xm), jnp.minimum(d_yp, d_ym))
+    for dist, sign in ((d_dr, +1), (d_ul, +1), (d_dl, -1), (d_ur, -1)):
+        out = jnp.minimum(out, unshear(dist, sign) * sq2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tiled pixflow
+# ---------------------------------------------------------------------------
+
+
+def _tiled_gaussian_blur(x, ksize, sigma, axis):
+    return _tiled_stencil(x, lambda e: im.gaussian_blur(e, ksize, sigma),
+                          ksize // 2, axis)
+
+
+def tiled_compute_optical_flow(
+    rgba0: jax.Array, rgba1: jax.Array, params: FlowParams, hint: str,
+    axis: str, n: int, h_global: int,
+) -> jax.Array:
+    """Row-tiled pixflow solver; local tiles are (h_local, W', 4) uint8.
+
+    Mirrors models.pixflow.compute_optical_flow level by level; each level
+    is either tiled (halo-exchange + local patch_match_level + crop) or,
+    when too small, computed replicated from an all_gather.
+    """
+    h_loc, w = rgba0.shape[:2]
+    assert h_loc * n >= h_global
+    dh = int(h_global * params.downscale_factor)
+    dw = int(w * params.downscale_factor)
+
+    plan_ds = make_row_resize_plan(h_global, dh, n, "cubic")
+    r0 = _tiled_resize_cols(_tiled_resize_rows(rgba0.astype(jnp.float32),
+                                               plan_ds, axis), dw, "cubic")
+    r1 = _tiled_resize_cols(_tiled_resize_rows(rgba1.astype(jnp.float32),
+                                               plan_ds, axis), dw, "cubic")
+    r0 = jnp.clip(jnp.rint(r0), 0, 255).astype(jnp.uint8)
+    r1 = jnp.clip(jnp.rint(r1), 0, 255).astype(jnp.uint8)
+
+    def gray_alpha(r):
+        i = im.rgba_to_gray_u8(r).astype(jnp.float32) / 255.0
+        a = r[..., 3].astype(jnp.float32) / 255.0
+        return i, a
+
+    i0, a0 = gray_alpha(r0)
+    i1, a1 = gray_alpha(r1)
+    i0 = _tiled_gaussian_blur(i0, params.pre_blur_kernel_width,
+                              params.pre_blur_sigma, axis)
+    i1 = _tiled_gaussian_blur(i1, params.pre_blur_kernel_width,
+                              params.pre_blur_sigma, axis)
+
+    sizes = pixflow.pyramid_sizes(dh, dw, params)
+    tiled_level = [sizes[k][0] // n >= MIN_TILED_ROWS for k in range(len(sizes))]
+
+    # ---- build pyramids (finest -> coarsest) ----
+    def build(img):
+        pyr = [img]
+        replicated = False
+        for k in range(1, len(sizes)):
+            prev = pyr[-1]
+            (ph, _), (nh, nw) = sizes[k - 1], sizes[k]
+            if not replicated and tiled_level[k]:
+                plan = make_row_resize_plan(ph, nh, n, "linear")
+                cur = _tiled_resize_cols(_tiled_resize_rows(prev, plan, axis),
+                                         nw, "linear")
+            else:
+                if not replicated:  # transition: gather previous level
+                    prev = jax.lax.all_gather(prev, axis, axis=0,
+                                              tiled=True)[:ph]
+                    replicated = True
+                cur = im.resize(prev, (nh, nw), "linear")
+            pyr.append(cur)
+        return pyr
+
+    p_i0, p_i1 = build(i0), build(i1)
+    p_a0, p_a1 = build(a0), build(a1)
+
+    # ---- coarse -> fine ----
+    flow = None
+    for level in range(len(sizes) - 1, -1, -1):
+        lh, lw = sizes[level]
+        if not tiled_level[level]:
+            flow = pixflow.patch_match_level(
+                p_i0[level], p_i1[level], p_a0[level], p_a1[level],
+                flow, hint, params)
+            if level > 0:
+                nh, nw = sizes[level - 1]
+                if tiled_level[level - 1]:
+                    # replicated -> tiled: upsample fully, slice my rows
+                    up = im.resize(flow, (nh, nw), "cubic") \
+                        * (1.0 / params.pyr_scale_factor)
+                    hb = _cdiv(nh, n)
+                    up = jnp.pad(up, ((0, n * hb - nh), (0, 0), (0, 0)))
+                    d = jax.lax.axis_index(axis)
+                    flow = jax.lax.dynamic_slice(
+                        up, (d * hb, 0, 0), (hb, nw, 2))
+                else:
+                    flow = im.resize(flow, (nh, nw), "cubic") \
+                        * (1.0 / params.pyr_scale_factor)
+        else:
+            halo = LEVEL_HALO
+            ex = partial(_exchange_rows, halo=halo, axis=axis)
+            args = [ex(p_i0[level]), ex(p_i1[level]),
+                    ex(p_a0[level]), ex(p_a1[level])]
+            f_ext = None if flow is None else ex(flow)
+            f_ext = pixflow.patch_match_level(*args, f_ext, hint, params)
+            flow = _crop_rows(f_ext, halo)
+            if level > 0:
+                nh, nw = sizes[level - 1]
+                plan = make_row_resize_plan(lh, nh, n, "cubic")
+                flow = _tiled_resize_cols(_tiled_resize_rows(flow, plan, axis),
+                                          nw, "cubic") \
+                    * (1.0 / params.pyr_scale_factor)
+
+    # ---- final upsample to input size ----
+    if not tiled_level[0]:
+        # whole pyramid was replicated; slice rows back to tiles
+        hb = _cdiv(dh, n)
+        flow = jnp.pad(flow, ((0, n * hb - dh), (0, 0), (0, 0)))
+        d = jax.lax.axis_index(axis)
+        flow = jax.lax.dynamic_slice(flow, (d * hb, 0, 0), (hb, dw, 2))
+    plan_up = make_row_resize_plan(dh, h_global, n, "linear")
+    flow = _tiled_resize_cols(_tiled_resize_rows(flow, plan_up, axis),
+                              w, "linear")
+    flow = flow * (1.0 / params.downscale_factor)
+    flow = _tiled_gaussian_blur(flow, params.final_flow_blur_kernel_width,
+                                params.final_flow_blur_sigma, axis)
+    return flow
+
+
+# ---------------------------------------------------------------------------
+# Tiled stitch pipeline
+# ---------------------------------------------------------------------------
+
+
+def _tiled_generate_blend(canvas_map: jax.Array, cfg: StitchConfig,
+                          axis: str, n: int, h_global: int):
+    """Row-tiled stitcher.generate_blend."""
+    h_loc, w = canvas_map.shape
+    length = w // cfg.blend_extend_div
+    ext = im.wrap_extend_x(canvas_map, length)  # local: x is whole
+
+    step = max(1, min(h_global, w) // cfg.blend_step_div)
+    max_i = w / 2.0
+
+    g_rows = jnp.arange(h_loc)[:, None] + jax.lax.axis_index(axis) * h_loc
+    live = g_rows < h_global  # guard pad rows
+
+    d_l = _tiled_eight_ray((ext == 100) & live, step, max_i, math.sqrt(2.0),
+                           axis, h_global)
+    d_r = _tiled_eight_ray((ext == 50) & live, step, max_i, math.sqrt(2.0),
+                           axis, h_global)
+    d_l = im.crop_x(d_l, length)
+    d_r = im.crop_x(d_r, length)
+
+    none_val = jnp.float32(10.0 * w)
+    d_l = jnp.where(jnp.isinf(d_l), none_val, d_l)
+    d_r = jnp.where(jnp.isinf(d_r), none_val, d_r)
+    counted = d_l / (d_l + d_r)
+    merged_dis = jnp.minimum(d_l, d_r)
+
+    blend = jnp.where(canvas_map == 100, 0.0,
+                      jnp.where(canvas_map == 50, 1.0,
+                                jnp.where(canvas_map == 150, counted, 0.5)))
+    merged_dis = jnp.where(canvas_map == 150, merged_dis, 0.0)
+
+    k_sel = h_global // cfg.blend_smooth_kernel_div
+    if k_sel >= 2:
+        blurred = _tiled_stencil(
+            blend, lambda e: im.box_blur(e, k_sel, k_sel), k_sel, axis)
+        # selection grid from global block top-left pixels
+        hq, wq = h_global // step, w // step
+        grid_rows_per_dev = _cdiv(hq, n)
+        # local sample of merged_dis at global rows q*step owned by me
+        d_idx = jax.lax.axis_index(axis)
+        qy_local = jnp.arange(grid_rows_per_dev)
+        gq = qy_local + 0  # grid rows gathered below
+        # gather my grid rows: global row q*step -> local row q*step - d*h
+        my_q0 = (d_idx * h_loc + step - 1) // step  # first grid row on me...
+        # simpler: compute grid over padded rows then all_gather
+        rows = jnp.arange(0, h_loc, step)
+        sel_rows = merged_dis[rows[:, None], jnp.arange(0, wq * step, step)[None, :]]
+        # rows global ids
+        sel_rows_gid = rows[:, None] + d_idx * h_loc
+        # all_gather both and rebuild the global grid on each device
+        all_sel = jax.lax.all_gather(sel_rows, axis, axis=0, tiled=True)
+        all_gid = jax.lax.all_gather(sel_rows_gid, axis, axis=0, tiled=True)
+        # scatter into (hq, wq): only rows where gid % step == 0 are valid
+        grid = jnp.zeros((hq, wq), jnp.float32)
+        valid = (all_gid[:, 0] % step == 0) & (all_gid[:, 0] // step < hq)
+        tgt = jnp.clip(all_gid[:, 0] // step, 0, hq - 1)
+        grid = grid.at[tgt].set(jnp.where(valid[:, None], all_sel, 0.0),
+                                mode="drop")
+        sel = grid > step
+        qy_ok = jnp.arange(hq) * step + step < h_global
+        qx_ok = jnp.arange(wq) * step + step < w
+        sel = sel & qy_ok[:, None] & qx_ok[None, :]
+        # expand to pixels, slice my rows
+        sel_up = jnp.repeat(jnp.repeat(sel, step, axis=0), step, axis=1)
+        sel_full = jnp.zeros((n * h_loc, w), bool)
+        sel_full = sel_full.at[: hq * step, : wq * step].set(sel_up)
+        my_sel = jax.lax.dynamic_slice(sel_full, (d_idx * h_loc, 0),
+                                       (h_loc, w))
+        blend = jnp.where(my_sel, blurred, blend)
+
+    k_glob = h_global // cfg.blend_global_blur_div
+    if k_glob >= 2:
+        blend = _tiled_stencil(
+            blend, lambda e: im.box_blur(e, k_glob, k_glob), k_glob, axis)
+    return blend.astype(jnp.float32), merged_dis
+
+
+def _tiled_combine(ol, orr, flr, frl, blend, axis):
+    """Row-tiled novel_view.combine_novel_views: vertical sampling reaches
+    +-|t*flow_y| rows; halo-extend all inputs, combine, crop."""
+    halo = LEVEL_HALO
+    args = [_exchange_rows(a, halo, axis) for a in (ol, orr, flr, frl, blend)]
+    out = novel_view.combine_novel_views(*args)
+    return _crop_rows(out, halo)
+
+
+def _tiled_gather(canvas_map, image_l, image_r, merged, cfg, axis, h_global):
+    """Row-tiled stitcher.gather_composite: rays reach at most
+    gather_search_radius - 1 rows -> halo exchange with an invalid-code
+    fill, global row-0 exclusion applied by global index."""
+    r = cfg.gather_search_radius
+    merged_a = im.threshold_binary(merged[..., 3], 0, 75)
+    code = canvas_map + merged_a
+
+    h_loc = code.shape[0]
+    d = jax.lax.axis_index(axis)
+    g_rows = jnp.arange(h_loc)[:, None] + d * h_loc
+    live = g_rows < h_global
+    code_l = jnp.where(live, code, 255)
+
+    ext = _exchange_rows(code_l, r, axis, fill=255)
+    g_rows_ext = jnp.arange(-r, h_loc + r)[:, None] + d * h_loc
+
+    def masked(target):
+        m = ext == target
+        # reference boundary semantics: global row 0 invisible to -y rays,
+        # col 0 to -x rays; here row/col masking is pre-applied and the
+        # op-internal exclusions are disabled.
+        m_nr0 = jnp.where(g_rows_ext == 0, False, m)
+        return m, m_nr0
+
+    def dist(target):
+        m, m_nr0 = masked(target)
+        no_col0 = m.at[:, 0].set(False)  # local col 0 IS global col 0
+        inf = jnp.float32(jnp.inf)
+
+        def keep(x):
+            return jnp.where(x < r, x, inf)
+
+        d_xp = keep(_strided_first_hit_x(m, 1, False))
+        d_xm = keep(_strided_first_hit_x(no_col0, 1, True))
+        d_yp = keep(_first_hit_steps(m, 0, False))
+        d_ym = keep(_first_hit_steps(m_nr0, 0, True))
+        w = m.shape[1]
+        no_both = jnp.where(jnp.arange(w)[None, :] == 0, False, m_nr0)
+        sh1, sh1e = _shear(m, +1), _shear(no_both, +1)
+        sh2 = _shear(no_col0, -1)
+        sh2e = _shear(m_nr0, -1)
+        d_dr = _unshear_local(keep(_first_hit_steps(sh1, 0, False)), +1, w)
+        d_ul = _unshear_local(keep(_first_hit_steps(sh1e, 0, True)), +1, w)
+        d_dl = _unshear_local(keep(_first_hit_steps(sh2, 0, False)), -1, w)
+        d_ur = _unshear_local(keep(_first_hit_steps(sh2e, 0, True)), -1, w)
+        out = jnp.minimum(jnp.minimum(d_xp, d_xm), jnp.minimum(d_yp, d_ym))
+        for dd in (d_dr, d_ul, d_dl, d_ur):
+            out = jnp.minimum(out, dd)
+        return _crop_rows(out, r)
+
+    d_l = dist(100)
+    d_r = dist(50)
+
+    take_l = d_l <= d_r
+    found = jnp.isfinite(jnp.minimum(d_l, d_r))
+    hole_black = jnp.array([0, 0, 0, 255], jnp.uint8)
+    hole = jnp.where(found[..., None],
+                     jnp.where(take_l[..., None], image_l, image_r),
+                     hole_black)
+
+    zero = jnp.zeros((4,), jnp.uint8)
+    out = jnp.where((code == 100)[..., None], image_l, zero)
+    out = jnp.where((code == 50)[..., None], image_r, out)
+    is_merged = (code == 225) | (code == 175) | (code == 125)
+    out = jnp.where(is_merged[..., None], merged, out)
+    out = jnp.where((code == 150)[..., None], hole, out)
+    return out
+
+
+from panorama_opticalflow_tpu.ops.distance import _unshear as _unshear_local  # noqa: E402
+
+
+def _tiled_stitch_pair_body(image_l, image_r, cfg: StitchConfig, axis: str,
+                            n: int, h_global: int):
+    canvas_map = stitcher.match_images(image_l, image_r)
+    ol = stitcher.extract_overlap(image_l, canvas_map)
+    orr = stitcher.extract_overlap(image_r, canvas_map)
+    blend, _ = _tiled_generate_blend(canvas_map, cfg, axis, n, h_global)
+
+    w = image_l.shape[1]
+    length = w // cfg.flow_extend_div
+    ext_l = im.wrap_extend_x(ol, length)
+    ext_r = im.wrap_extend_x(orr, length)
+    params = cfg.flow_params
+    flr = tiled_compute_optical_flow(ext_l, ext_r, params, "left",
+                                     axis, n, h_global)
+    frl = tiled_compute_optical_flow(ext_r, ext_l, params, "right",
+                                     axis, n, h_global)
+    flr = im.crop_x(flr, length)
+    frl = im.crop_x(frl, length)
+
+    merged = _tiled_combine(ol, orr, flr, frl, blend, axis)
+    return _tiled_gather(canvas_map, image_l, image_r, merged, cfg,
+                         axis, h_global)
+
+
+def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
+                      cfg: StitchConfig, mesh, axis: str = "y") -> jax.Array:
+    """Stitch one canvas pair, row-sharded over ``mesh``.
+
+    Inputs are global (H, W, 4) uint8 arrays; rows are padded to a
+    multiple of the mesh size with transparent rows, stitched tiled, and
+    cropped back.
+    """
+    h, w = image_l.shape[:2]
+    n = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    hp = _cdiv(h, n) * n
+    pad = ((0, hp - h), (0, 0), (0, 0))
+    lp = jnp.pad(image_l, pad)
+    rp = jnp.pad(image_r, pad)
+
+    body = partial(_tiled_stitch_pair_body, cfg=cfg, axis=axis, n=n,
+                   h_global=h)
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
+                   out_specs=P(axis))
+    out = jax.jit(fn)(lp, rp)
+    return out[:h]

@@ -55,6 +55,12 @@ class FlowParams:
     # each sweep, CPU/PixFlow.hpp:325,338).
     relax_phases: int = 2
     relax_iters_per_phase: int = 5
+    # The coarsest level starts from zero (or search) init, where the
+    # sequential sweeps' Gauss-Seidel cascade is worth O(width) descent
+    # steps; Jacobi needs a higher count to match.  The level is tiny
+    # (<= ~24x30 px) so this is nearly free.
+    coarsest_relax_phases: int = 4
+    coarsest_relax_iters_per_phase: int = 15
 
     @property
     def search_distance(self) -> int:
