@@ -256,7 +256,9 @@ def patch_match_level(
 
     coarsest = flow is None
     if coarsest:
-        flow = jnp.zeros(i0.shape + (2,), jnp.float32)
+        # 0*i0 ties the init to the input's device-varying type so the
+        # relaxation scan carry is consistent under shard_map
+        flow = jnp.zeros(i0.shape + (2,), jnp.float32) + 0.0 * i0[..., None]
         if params.max_percentage > 0 and hint != "unknown":
             flow = adjust_initial_flow(i0, i1, alpha0, alpha1, hint, params)
 

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from panorama_opticalflow_tpu.models import novel_view, pixflow, stitcher
 from panorama_opticalflow_tpu.ops import image as im
@@ -54,14 +54,20 @@ from panorama_opticalflow_tpu.ops.distance import (
 )
 from panorama_opticalflow_tpu.utils.config import FlowParams, StitchConfig
 
-# levels whose local row count would drop below this are computed
-# replicated (they are tiny: total work of all levels below any fixed
-# size is a geometrically-vanishing fraction).
-MIN_TILED_ROWS = 48
-# per-level halo: blurred-flow blur (7) + relax propagation (iters) +
-# 2 medians (4) + diffusion blur (7) + gradient setup (2) + |flow_y|
-# sampling margin.
-LEVEL_HALO = 48
+@dataclasses.dataclass(frozen=True)
+class TileConfig:
+    """Static tiling knobs (jit-static).
+
+    min_tiled_rows: levels whose local row count would drop below this
+      are computed replicated (they are tiny: total work of all levels
+      below any fixed size is a geometrically-vanishing fraction).
+    level_halo: per-level halo = blurred-flow blur (7) + relax
+      propagation (#iters) + 2 medians (4) + diffusion blur (7) +
+      gradient setup (2) + |flow_y| sampling margin.
+    """
+
+    min_tiled_rows: int = 48
+    level_halo: int = 48
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -76,12 +82,39 @@ def _cdiv(a: int, b: int) -> int:
 def _exchange_rows(x: jax.Array, halo: int, axis: str, fill: str | float = "reflect"
                    ) -> jax.Array:
     """Extend a local row tile by ``halo`` rows on each side with
-    neighbours' edge rows (ppermute); at the global top/bottom the halo is
-    reflect-filled (approximating the ops' border modes) or constant."""
+    neighbours' edge rows; at the global top/bottom the halo is
+    reflect-filled (approximating the ops' border modes) or constant.
+
+    halo < local rows: one ppermute each way (the common, fine-level
+    case).  halo >= local rows: the tile is small relative to the halo,
+    so all_gather the (small) global array and slice -- same semantics.
+    """
     if halo == 0:
         return x
     n = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
+    h = x.shape[0]
+
+    if halo >= h:
+        full = jax.lax.all_gather(x, axis, axis=0, tiled=True)  # (n*h, ...)
+        hg = full.shape[0]
+        if fill == "reflect":
+            r = min(halo, hg - 1)
+            top_fill = full[1:r + 1][::-1]
+            bot_fill = full[-r - 1:-1][::-1]
+            if r < halo:  # beyond one reflection: edge-repeat
+                top_fill = jnp.concatenate(
+                    [jnp.repeat(full[-1:], halo - r, 0), top_fill], 0)
+                bot_fill = jnp.concatenate(
+                    [bot_fill, jnp.repeat(full[:1], halo - r, 0)], 0)
+        else:
+            top_fill = jnp.full((halo,) + full.shape[1:], fill, full.dtype)
+            bot_fill = top_fill
+        ext_full = jnp.concatenate([top_fill, full, bot_fill], axis=0)
+        start = (idx * h,) + (0,) * (x.ndim - 1)
+        return jax.lax.dynamic_slice(ext_full, start,
+                                     (h + 2 * halo,) + x.shape[1:])
+
     top = jax.lax.ppermute(x[-halo:], axis, [(d, d + 1) for d in range(n - 1)])
     bot = jax.lax.ppermute(x[:halo], axis, [(d + 1, d) for d in range(n - 1)])
     if fill == "reflect":
@@ -265,7 +298,7 @@ def _tiled_gaussian_blur(x, ksize, sigma, axis):
 
 def tiled_compute_optical_flow(
     rgba0: jax.Array, rgba1: jax.Array, params: FlowParams, hint: str,
-    axis: str, n: int, h_global: int,
+    axis: str, n: int, h_global: int, tc: TileConfig = TileConfig(),
 ) -> jax.Array:
     """Row-tiled pixflow solver; local tiles are (h_local, W', 4) uint8.
 
@@ -299,10 +332,22 @@ def tiled_compute_optical_flow(
                               params.pre_blur_sigma, axis)
 
     sizes = pixflow.pyramid_sizes(dh, dw, params)
-    tiled_level = [sizes[k][0] // n >= MIN_TILED_ROWS for k in range(len(sizes))]
+    # a level is tiled only when the local tile exceeds both the minimum
+    # and the halo (single-hop neighbour exchange)
+    tiled_level = [sizes[k][0] // n >= max(tc.min_tiled_rows,
+                                           tc.level_halo + 1)
+                   for k in range(len(sizes))]
 
     # ---- build pyramids (finest -> coarsest) ----
     def build(img):
+        # when even the base level is too small to tile, the whole
+        # pyramid is replicated from the start
+        if not tiled_level[0]:
+            img = jax.lax.all_gather(img, axis, axis=0, tiled=True)[:dh]
+            pyr = [img]
+            for k in range(1, len(sizes)):
+                pyr.append(im.resize(pyr[-1], sizes[k], "linear"))
+            return pyr
         pyr = [img]
         replicated = False
         for k in range(1, len(sizes)):
@@ -347,7 +392,7 @@ def tiled_compute_optical_flow(
                     flow = im.resize(flow, (nh, nw), "cubic") \
                         * (1.0 / params.pyr_scale_factor)
         else:
-            halo = LEVEL_HALO
+            halo = tc.level_halo
             ex = partial(_exchange_rows, halo=halo, axis=axis)
             args = [ex(p_i0[level]), ex(p_i1[level]),
                     ex(p_a0[level]), ex(p_a1[level])]
@@ -459,10 +504,10 @@ def _tiled_generate_blend(canvas_map: jax.Array, cfg: StitchConfig,
     return blend.astype(jnp.float32), merged_dis
 
 
-def _tiled_combine(ol, orr, flr, frl, blend, axis):
+def _tiled_combine(ol, orr, flr, frl, blend, axis, tc: TileConfig):
     """Row-tiled novel_view.combine_novel_views: vertical sampling reaches
     +-|t*flow_y| rows; halo-extend all inputs, combine, crop."""
-    halo = LEVEL_HALO
+    halo = tc.level_halo
     args = [_exchange_rows(a, halo, axis) for a in (ol, orr, flr, frl, blend)]
     out = novel_view.combine_novel_views(*args)
     return _crop_rows(out, halo)
@@ -542,7 +587,8 @@ from panorama_opticalflow_tpu.ops.distance import _unshear as _unshear_local  # 
 
 
 def _tiled_stitch_pair_body(image_l, image_r, cfg: StitchConfig, axis: str,
-                            n: int, h_global: int):
+                            n: int, h_global: int,
+                            tc: TileConfig = TileConfig()):
     canvas_map = stitcher.match_images(image_l, image_r)
     ol = stitcher.extract_overlap(image_l, canvas_map)
     orr = stitcher.extract_overlap(image_r, canvas_map)
@@ -554,19 +600,20 @@ def _tiled_stitch_pair_body(image_l, image_r, cfg: StitchConfig, axis: str,
     ext_r = im.wrap_extend_x(orr, length)
     params = cfg.flow_params
     flr = tiled_compute_optical_flow(ext_l, ext_r, params, "left",
-                                     axis, n, h_global)
+                                     axis, n, h_global, tc)
     frl = tiled_compute_optical_flow(ext_r, ext_l, params, "right",
-                                     axis, n, h_global)
+                                     axis, n, h_global, tc)
     flr = im.crop_x(flr, length)
     frl = im.crop_x(frl, length)
 
-    merged = _tiled_combine(ol, orr, flr, frl, blend, axis)
+    merged = _tiled_combine(ol, orr, flr, frl, blend, axis, tc)
     return _tiled_gather(canvas_map, image_l, image_r, merged, cfg,
                          axis, h_global)
 
 
 def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
-                      cfg: StitchConfig, mesh, axis: str = "y") -> jax.Array:
+                      cfg: StitchConfig, mesh, axis: str = "y",
+                      tc: TileConfig = TileConfig()) -> jax.Array:
     """Stitch one canvas pair, row-sharded over ``mesh``.
 
     Inputs are global (H, W, 4) uint8 arrays; rows are padded to a
@@ -581,7 +628,7 @@ def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
     rp = jnp.pad(image_r, pad)
 
     body = partial(_tiled_stitch_pair_body, cfg=cfg, axis=axis, n=n,
-                   h_global=h)
+                   h_global=h, tc=tc)
     fn = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
                    out_specs=P(axis))
     out = jax.jit(fn)(lp, rp)
