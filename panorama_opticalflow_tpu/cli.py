@@ -21,6 +21,7 @@ import sys
 import numpy as np
 
 from panorama_opticalflow_tpu.utils import io as pio
+from panorama_opticalflow_tpu.utils import native_io as nio
 from panorama_opticalflow_tpu.utils.config import StitchConfig
 from panorama_opticalflow_tpu.utils.runtime import StageTimer, init_runtime, log
 
@@ -34,7 +35,7 @@ def _load(test_dir: str, name: str) -> np.ndarray:
     for ext in ("", ".tif", ".tiff", ".png"):
         path = os.path.join(test_dir, name + ext)
         if os.path.exists(path):
-            return pio.read_image_rgba(path)
+            return nio.read_image_rgba_fast(path)
     raise pio.PanoIOError(f"failed to load image: {os.path.join(test_dir, name)}")
 
 
@@ -58,7 +59,8 @@ def cmd_stitch6(args) -> None:
             result = pipeline.stitch_pair(jnp.asarray(image_l), result, cfg)
             result.block_until_ready()
         name = "FinalResult.png" if i == 5 else f"ProcessResult{i}.png"
-        pio.write_image(os.path.join(args.test_dir, name), np.asarray(result))
+        nio.write_image_fast(os.path.join(args.test_dir, name),
+                             np.asarray(result))
     timer.total()
 
 
@@ -76,8 +78,8 @@ def cmd_stitch4(args) -> None:
     with timer.stage("Stitch"):
         result = pipeline.stitch_four(images, cfg)
         result.block_until_ready()
-    pio.write_image(os.path.join(args.test_dir, "FinalResult.png"),
-                    np.asarray(result))
+    nio.write_image_fast(os.path.join(args.test_dir, "FinalResult.png"),
+                         np.asarray(result))
     timer.total()
 
 

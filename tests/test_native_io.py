@@ -1,0 +1,59 @@
+"""Native C++ I/O runtime tests (skipped when the library can't build)."""
+
+import numpy as np
+import pytest
+
+from panorama_opticalflow_tpu.utils import native_io as nio
+
+pytestmark = pytest.mark.skipif(not nio.have_native(),
+                                reason="libpanoio.so unavailable")
+
+
+def test_png_roundtrip(rng):
+    img = rng.integers(0, 256, (37, 53, 4), dtype=np.uint8)
+    data = nio.png_encode(img)
+    assert data[:4] == b"\x89PNG"
+    back = nio.png_decode(data)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_png_interop_with_pil(rng, tmp_path):
+    from PIL import Image
+
+    img = rng.integers(0, 256, (20, 30, 4), dtype=np.uint8)
+    # native encode -> PIL decode
+    data = nio.png_encode(img)
+    p = tmp_path / "a.png"
+    p.write_bytes(data)
+    np.testing.assert_array_equal(np.asarray(Image.open(p)), img)
+    # PIL encode -> native decode
+    q = tmp_path / "b.png"
+    Image.fromarray(img).save(q)
+    np.testing.assert_array_equal(nio.png_decode(q.read_bytes()), img)
+
+
+def test_fast_read_write(rng, tmp_path):
+    img = rng.integers(0, 256, (16, 24, 4), dtype=np.uint8)
+    path = str(tmp_path / "x.png")
+    nio.write_image_fast(path, img)
+    np.testing.assert_array_equal(nio.read_image_rgba_fast(path), img)
+
+
+def test_prefetch_loader(rng, tmp_path):
+    paths = []
+    imgs = []
+    for i in range(4):
+        img = rng.integers(0, 256, (8, 12, 4), dtype=np.uint8)
+        p = str(tmp_path / f"{i}.png")
+        nio.write_image_fast(p, img)
+        paths.append(p)
+        imgs.append(img)
+    seen = list(nio.PrefetchLoader(paths))
+    assert [p for p, _ in seen] == paths
+    for (_, got), want in zip(seen, imgs):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_decode_garbage_raises():
+    with pytest.raises(Exception):
+        nio.png_decode(b"not a png at all")
