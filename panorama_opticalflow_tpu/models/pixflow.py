@@ -267,16 +267,52 @@ def patch_match_level(
     update_mask = ((alpha0 > params.update_alpha_threshold)
                    & (alpha1 > params.update_alpha_threshold))
 
-    def one_iter(f, _):
-        return relax_iteration(f, i0x, i0y, i1g, blurred_flow,
-                               update_mask, params), None
-
     phases = params.coarsest_relax_phases if coarsest else params.relax_phases
     iters = (params.coarsest_relax_iters_per_phase if coarsest
              else params.relax_iters_per_phase)
-    for _ in range(phases):
-        flow, _ = jax.lax.scan(one_iter, flow, None, length=iters)
-        flow = im.median5(flow)
+
+    use_fast = params.relax_impl == "fast" and not coarsest
+    if use_fast:
+        from panorama_opticalflow_tpu.ops.pallas import kernels
+        from panorama_opticalflow_tpu.ops.relax_fast import (
+            relax_phase_fast, warp_by_flow_tiled)
+
+        pallas_ok = kernels.on_tpu() and params.use_pallas
+
+        def median_flow(f):
+            if pallas_ok:
+                return jnp.stack([kernels.median5_pallas(f[..., 0]),
+                                  kernels.median5_pallas(f[..., 1])], -1)
+            return im.median5(f)
+
+        for _ in range(phases):
+            # re-centre per phase: warp the gradient pair by the current
+            # flow once, then relax bounded residuals against it
+            f_base = flow
+            w1g_warp = warp_by_flow_tiled(i1g, f_base)
+            if pallas_ok:
+                fx, fy = kernels.relax_phase_pallas(
+                    flow[..., 0], flow[..., 1],
+                    f_base[..., 0], f_base[..., 1],
+                    w1g_warp[..., 0], w1g_warp[..., 1],
+                    i0x, i0y,
+                    blurred_flow[..., 0], blurred_flow[..., 1],
+                    update_mask.astype(jnp.float32),
+                    params, iters, params.fast_window)
+                flow = jnp.stack([fx, fy], axis=-1)
+            else:
+                flow = relax_phase_fast(flow, f_base, w1g_warp, i0x, i0y,
+                                        blurred_flow, update_mask, params,
+                                        iters, D=params.fast_window)
+            flow = median_flow(flow)
+    else:
+        def one_iter(f, _):
+            return relax_iteration(f, i0x, i0y, i1g, blurred_flow,
+                                   update_mask, params), None
+
+        for _ in range(phases):
+            flow, _ = jax.lax.scan(one_iter, flow, None, length=iters)
+            flow = im.median5(flow)
     return low_alpha_flow_diffusion(flow, alpha0, alpha1, params)
 
 

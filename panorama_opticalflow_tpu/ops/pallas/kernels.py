@@ -1,0 +1,387 @@
+"""Pallas TPU kernels for the hot pixflow ops.
+
+Two kernels carry nearly all the solver's per-pixel work:
+
+* ``median5_pallas`` -- 5x5 median via a Batcher sorting network on 25
+  VMEM-resident shifted views (the XLA sort-based formulation is
+  HBM-bandwidth-bound at ~40 ms / 10 MP; the network in VMEM is
+  compute-bound at ~1-2 ms).
+* ``relax_phase_pallas`` -- K Jacobi relaxation iterations per call, one
+  HBM round trip per phase: each grid tile DMAs its halo window into
+  VMEM and iterates propagation + descent entirely on-chip, using the
+  same hat-window sampling formulation as ops/relax_fast.py (which is
+  the jnp reference implementation of this kernel; the CPU test path
+  runs that and the TPU path must match it).
+
+Layout note: all arrays are channel-split 2-D (H, W) float32 -- a
+trailing channel dim of 2 would make the TPU lane dimension 2 wide and
+waste the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from panorama_opticalflow_tpu.utils.config import FlowParams
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Batcher odd-even mergesort network (compare-exchange pairs for n = 2^k)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def batcher_pairs(n: int) -> tuple[tuple[int, int], ...]:
+    assert n & (n - 1) == 0, "power of two"
+    pairs = []
+    k = 1
+    while k < n:
+        j = k
+        while j >= 1:
+            for i in range(n):
+                ixj = i ^ j
+                if ixj > i:
+                    if (i & (k << 1)) == 0:
+                        pairs.append((i, ixj))
+                    else:
+                        pairs.append((ixj, i))
+            j >>= 1
+        k <<= 1
+    return tuple(pairs)
+
+
+def _median25(vals: list):
+    """Median of 25 equal-shape arrays via a padded 32-way Batcher sort."""
+    inf = jnp.full_like(vals[0], jnp.inf)
+    v = vals + [inf] * 7
+    for a, b in batcher_pairs(32):
+        lo = jnp.minimum(v[a], v[b])
+        hi = jnp.maximum(v[a], v[b])
+        v[a], v[b] = lo, hi
+    return v[12]
+
+
+# ---------------------------------------------------------------------------
+# median5
+# ---------------------------------------------------------------------------
+
+_MED_TH, _MED_TW = 128, 512
+
+
+def _median5_kernel(x_hbm, o_ref, x_vmem, sem):
+    # DMA windows must be tiling-aligned (8, 128); read a slightly larger
+    # aligned window and slice values in registers.
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    c = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * _MED_TH, _MED_TH + 8),
+                 pl.ds(j * _MED_TW, _MED_TW + 128)], x_vmem, sem)
+    c.start()
+    c.wait()
+    v = x_vmem[:, :]
+    shifts = [v[dy:dy + _MED_TH, dx:dx + _MED_TW]
+              for dy in range(5) for dx in range(5)]
+    o_ref[:, :] = _median25(shifts)
+
+
+def median5_pallas(x: jax.Array) -> jax.Array:
+    """cv::medianBlur 5x5, BORDER_REPLICATE, for one (H, W) f32 plane."""
+    h, w = x.shape
+    gh, gw = _cdiv(h, _MED_TH), _cdiv(w, _MED_TW)
+    hp, wp = gh * _MED_TH, gw * _MED_TW
+    # replicate-pad 2 for the window plus aligned-window slack
+    xp = jnp.pad(x, ((2, hp - h + 6), (2, wp - w + 126)), mode="edge")
+    out = pl.pallas_call(
+        _median5_kernel,
+        grid=(gh, gw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((_MED_TH, _MED_TW), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_MED_TH + 8, _MED_TW + 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )(xp)
+    return out[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# relax phase
+# ---------------------------------------------------------------------------
+
+
+def _hat(t):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _dhat(t):
+    return jnp.where(jnp.abs(t) < 1.0, -jnp.sign(t), 0.0)
+
+
+def relax_phase_pallas(
+    fx, fy, bx, by, w1x, w1y, i0x, i0y, bfx, bfy, mask,
+    params: FlowParams, iters: int, D: int,
+    tile: tuple[int, int] = (64, 256),
+):
+    """K relaxation iterations on channel-split planes.
+
+    All inputs (H, W) float32 (mask: 1.0 where updatable).  Returns
+    (fx', fy').  Semantics match ops.relax_fast.relax_phase_fast (the
+    separable hat-sampling formulation).
+
+    Implementation notes (hard-won on v5e Mosaic):
+      * the hat window is evaluated separably -- an x-pass accumulates
+        ``X(r,c) = sum_ox hat(dx(r,c)-ox) * W1[r, c+ox]`` into scratch,
+        then each sample map is a y-pass over X -- turning (2D+1)^2
+        fused reads into 2(2D+1);
+      * every accumulator lives in a VMEM scratch *ref*: large SSA
+        temporaries inside the iteration loop each get their own stack
+        slab and blow the 16 MB scoped-vmem limit;
+      * DMA windows are padded to the (8, 128) tiling.
+    """
+    def rup(a, m):
+        return -(-a // m) * m
+
+    h, w = fx.shape
+    th, tw = tile
+    halo = iters + D + 2      # propagation + sampling contamination
+    ps = D + 2                # sampling reach of the hat window
+    gh, gw = _cdiv(h, th), _cdiv(w, tw)
+    hp, wp = gh * th, gw * tw
+
+    the = th + 2 * halo                    # logical extended tile
+    twe = tw + 2 * halo
+    the_a, twe_a = rup(the, 8), rup(twe + 2, 128)  # aligned windows
+    # X accumulator covers rows [-(D+1), the_a+D+1) with alignment slack
+    xr_a = rup(the + 2 * (D + 1), 8) + 8
+    xw_a = twe_a + 128
+    # warped-gradient window with slack for all static offsets
+    thw_a, tww_a = xr_a + 16, xw_a + 128
+
+    def pad_to(a, top, height, width):
+        return jnp.pad(a, ((top, height - top - a.shape[0]),
+                           (top, width - top - a.shape[1])), mode="edge")
+
+    ph_, pw_ = (gh - 1) * th + the_a, (gw - 1) * tw + twe_a
+    args = [pad_to(a, halo, ph_, pw_)
+            for a in (fx, fy, bx, by, i0x, i0y, bfx, bfy, mask)]
+    phw, pww = (gh - 1) * th + thw_a, (gw - 1) * tw + tww_a
+    w1 = [pad_to(a, halo + ps, phw, pww) for a in (w1x, w1y)]
+
+    smooth = params.smoothness_coef
+    vreg = params.vertical_regularization_coef
+    hreg = params.horizontal_regularization_coef
+    step = params.gradient_step_size
+    lim = D - 1e-3
+
+    def kernel(fx_h, fy_h, bx_h, by_h, i0x_h, i0y_h, bfx_h, bfy_h, m_h,
+               w1x_h, w1y_h, ofx_r, ofy_r,
+               fx_r, fy_r, bx_r, by_r, i0x_r, i0y_r, bfx_r, bfy_r, m_r,
+               w1x_r, w1y_r,
+               xax_r, xay_r, gax_r, gay_r,
+               s0x_r, s0y_r, sxpx_r, sxpy_r, sxmx_r, sxmy_r,
+               sypx_r, sypy_r, symx_r, symy_r,
+               sems):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        y0 = i * th
+        x0 = j * tw
+        copies = []
+        for src, dst in ((fx_h, fx_r), (fy_h, fy_r), (bx_h, bx_r),
+                         (by_h, by_r), (i0x_h, i0x_r), (i0y_h, i0y_r),
+                         (bfx_h, bfx_r), (bfy_h, bfy_r), (m_h, m_r)):
+            c = pltpu.make_async_copy(
+                src.at[pl.ds(y0, the_a), pl.ds(x0, twe_a)], dst,
+                sems.at[len(copies)])
+            c.start()
+            copies.append(c)
+        for src, dst in ((w1x_h, w1x_r), (w1y_h, w1y_r)):
+            c = pltpu.make_async_copy(
+                src.at[pl.ds(y0, thw_a), pl.ds(x0, tww_a)], dst,
+                sems.at[len(copies)])
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
+
+        def err_terms(sx, sy, cfx, cfy, i0xb, i0yb, bfxb, bfyb):
+            d0 = i0xb - sx
+            d1 = i0yb - sy
+            data = jnp.sqrt(d0 * d0 + d1 * d1)
+            fdx = bfxb - cfx
+            fdy = bfyb - cfy
+            sm = jnp.sqrt(fdx * fdx + fdy * fdy)
+            return (data + smooth * sm
+                    + (vreg * jnp.abs(cfy) + hreg * jnp.abs(cfx)) / w)
+
+        def roll2(a, dy_, dx_):
+            out = a
+            if dy_ > 0:
+                out = jnp.concatenate([out[:1]] * dy_ + [out[:-dy_]], 0)
+            elif dy_ < 0:
+                out = jnp.concatenate([out[-dy_:]] + [out[-1:]] * (-dy_), 0)
+            if dx_ > 0:
+                out = jnp.concatenate([out[:, :1]] * dx_ + [out[:, :-dx_]], 1)
+            elif dx_ < 0:
+                out = jnp.concatenate([out[:, -dx_:]] + [out[:, -1:]] * (-dx_), 1)
+            return out
+
+        def ext_to(a, height, width, top, left):
+            """edge-extend a to (height, width) with a's origin at
+            (top, left)."""
+            bot = height - top - a.shape[0]
+            right = width - left - a.shape[1]
+            if top:
+                a = jnp.concatenate([a[:1]] * top + [a], 0)
+            if bot:
+                a = jnp.concatenate([a] + [a[-1:]] * bot, 0)
+            if left:
+                a = jnp.concatenate([a[:, :1]] * left + [a], 1)
+            if right:
+                a = jnp.concatenate([a] + [a[:, -1:]] * right, 1)
+            return a
+
+        def x_pass(dxf, weight_fn, outx_r, outy_r):
+            """X(r,c) = sum_ox weight_fn(dx - ox)(r,c) * W1[r, c+ox],
+            computed over the full aligned scratch shape (scatter-free:
+            everything full-ref-sized; out-of-logical regions hold
+            harmless garbage).  X row r <-> flow row r-(D+1); X col c <->
+            flow col c-1."""
+            dxe = ext_to(dxf, xr_a, xw_a, D + 1, 1)
+            outx_r[:, :] = jnp.zeros((xr_a, xw_a), jnp.float32)
+            outy_r[:, :] = jnp.zeros((xr_a, xw_a), jnp.float32)
+            w1xv = w1x_r[:, :]
+            w1yv = w1y_r[:, :]
+            for ox in range(-D, D + 1):
+                wgt = weight_fn(dxe - ox)               # (xr_a, xw_a)
+                vx = w1xv[1:1 + xr_a, ps - 1 + ox:ps - 1 + ox + xw_a]
+                vy = w1yv[1:1 + xr_a, ps - 1 + ox:ps - 1 + ox + xw_a]
+                outx_r[:, :] = outx_r[:, :] + wgt * vx
+                outy_r[:, :] = outy_r[:, :] + wgt * vy
+
+        def y_pass(dyf, weight_fn, inx_r, iny_r, srefs_rows_cols):
+            """each (ref_x, ref_y, row_off, col_off): accumulate
+            sum_oy weight_fn(dy-oy) * X[r+oy+row_off, c+col_off]."""
+            dye = ext_to(dyf, the_a, twe_a, 0, 0)
+            for rx, ry, ro, co in srefs_rows_cols:
+                rx[:, :] = jnp.zeros((the_a, twe_a), jnp.float32)
+                ry[:, :] = jnp.zeros((the_a, twe_a), jnp.float32)
+            xv = inx_r[:, :]
+            yv = iny_r[:, :]
+            for oy in range(-D, D + 1):
+                wgt = weight_fn(dye - oy)                # (the_a, twe_a)
+                for rx, ry, ro, co in srefs_rows_cols:
+                    r0 = D + 1 + oy + ro
+                    c0 = 1 + co
+                    vx = xv[r0:r0 + the_a, c0:c0 + twe_a]
+                    vy = yv[r0:r0 + the_a, c0:c0 + twe_a]
+                    rx[:, :] = rx[:, :] + wgt * vx
+                    ry[:, :] = ry[:, :] + wgt * vy
+
+        def body(_, __):
+            fxb = fx_r[:, :][:the, :twe]
+            fyb = fy_r[:, :][:the, :twe]
+            bxb = bx_r[:, :][:the, :twe]
+            byb = by_r[:, :][:the, :twe]
+            dx = jnp.clip(fxb - bxb, -lim, lim)
+            dy = jnp.clip(fyb - byb, -lim, lim)
+
+            # ---- pass A ----
+            x_pass(dx, _hat, xax_r, xay_r)
+            y_pass(dy, _hat, xax_r, xay_r,
+                   ((s0x_r, s0y_r, 0, 0),
+                    (sxpx_r, sxpy_r, 0, 1), (sxmx_r, sxmy_r, 0, -1),
+                    (sypx_r, sypy_r, 1, 0), (symx_r, symy_r, -1, 0)))
+
+            i0xb = i0x_r[:, :][:the, :twe]
+            i0yb = i0y_r[:, :][:the, :twe]
+            bfxb = bfx_r[:, :][:the, :twe]
+            bfyb = bfy_r[:, :][:the, :twe]
+            best_fx, best_fy = fxb, fyb
+            best_e = err_terms(s0x_r[:, :][:the, :twe],
+                               s0y_r[:, :][:the, :twe],
+                               fxb, fyb, i0xb, i0yb, bfxb, bfyb)
+            for (srx, sry, dy_, dx_) in (
+                    (sxpx_r, sxpy_r, 0, 1),    # from left
+                    (sypx_r, sypy_r, 1, 0),    # from up
+                    (sxmx_r, sxmy_r, 0, -1),   # from right
+                    (symx_r, symy_r, -1, 0)):  # from down
+                cfx = roll2(fxb, dy_, dx_)
+                cfy = roll2(fyb, dy_, dx_)
+                e = err_terms(roll2(srx[:, :][:the, :twe], dy_, dx_),
+                              roll2(sry[:, :][:the, :twe], dy_, dx_),
+                              cfx, cfy, i0xb, i0yb, bfxb, bfyb)
+                take = e < best_e
+                best_fx = jnp.where(take, cfx, best_fx)
+                best_fy = jnp.where(take, cfy, best_fy)
+                best_e = jnp.where(take, e, best_e)
+
+            # ---- pass B: descent at the accepted flow ----
+            dx2 = jnp.clip(best_fx - bxb, -lim, lim)
+            dy2 = jnp.clip(best_fy - byb, -lim, lim)
+            x_pass(dx2, _hat, xax_r, xay_r)
+            x_pass(dx2, _dhat, gax_r, gay_r)
+            # S2 and Gy from hat-X; Gx from dhat-X
+            y_pass(dy2, _hat, xax_r, xay_r, ((s0x_r, s0y_r, 0, 0),))
+            y_pass(dy2, _dhat, xax_r, xay_r, ((sypx_r, sypy_r, 0, 0),))
+            y_pass(dy2, _hat, gax_r, gay_r, ((sxpx_r, sxpy_r, 0, 0),))
+
+            s2x = s0x_r[:, :][:the, :twe]
+            s2y = s0y_r[:, :][:the, :twe]
+            gyx = sypx_r[:, :][:the, :twe]
+            gyy = sypy_r[:, :][:the, :twe]
+            gxx = sxpx_r[:, :][:the, :twe]
+            gxy = sxpy_r[:, :][:the, :twe]
+
+            d0 = i0xb - s2x
+            d1 = i0yb - s2y
+            q = jnp.sqrt(d0 * d0 + d1 * d1)
+            inv_q = jnp.where(q > 1e-12, 1.0 / q, 0.0)
+            ddx = -(d0 * gxx + d1 * gxy) * inv_q
+            ddy = -(d0 * gyx + d1 * gyy) * inv_q
+            fdx = bfxb - best_fx
+            fdy = bfyb - best_fy
+            sv = jnp.sqrt(fdx * fdx + fdy * fdy)
+            inv_s = jnp.where(sv > 1e-12, 1.0 / sv, 0.0)
+            gx = ddx + smooth * (-fdx * inv_s) \
+                + hreg * jnp.sign(best_fx) / w
+            gy = ddy + smooth * (-fdy * inv_s) \
+                + vreg * jnp.sign(best_fy) / w
+            mb = m_r[:, :][:the, :twe]
+            nfx = jnp.where(mb > 0, best_fx - step * gx, fxb)
+            nfy = jnp.where(mb > 0, best_fy - step * gy, fyb)
+            fx_r[:, :] = ext_to(nfx, the_a, twe_a, 0, 0)
+            fy_r[:, :] = ext_to(nfy, the_a, twe_a, 0, 0)
+            return 0
+
+        jax.lax.fori_loop(0, iters, body, 0)
+        ofx_r[:, :] = fx_r[:, :][halo:halo + th, halo:halo + tw]
+        ofy_r[:, :] = fy_r[:, :][halo:halo + th, halo:halo + tw]
+
+    out_fx, out_fy = pl.pallas_call(
+        kernel,
+        grid=(gh, gw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 11,
+        out_specs=[pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 2,
+        scratch_shapes=(
+            [pltpu.VMEM((the_a, twe_a), jnp.float32)] * 9
+            + [pltpu.VMEM((thw_a, tww_a), jnp.float32)] * 2
+            + [pltpu.VMEM((xr_a, xw_a), jnp.float32)] * 4
+            + [pltpu.VMEM((the_a, twe_a), jnp.float32)] * 10
+            + [pltpu.SemaphoreType.DMA((11,))]
+        ),
+    )(*args, *w1)
+    return out_fx[:h, :w], out_fy[:h, :w]

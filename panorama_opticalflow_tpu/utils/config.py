@@ -62,6 +62,17 @@ class FlowParams:
     coarsest_relax_phases: int = 4
     coarsest_relax_iters_per_phase: int = 15
 
+    # Relaxation implementation: "fast" uses the gather-free
+    # warp-recentred hat-window path (ops/relax_fast.py) on every level
+    # except the coarsest (which starts from zero/search init and is tiny
+    # enough for the exact path); "exact" uses per-candidate bilinear
+    # gathers everywhere (reference-faithful, used by oracle tests).
+    relax_impl: str = "fast"
+    fast_window: int = 3
+    # Use the Pallas TPU kernels for the fast path (median + relax
+    # phase); pure-jnp fallback otherwise (identical semantics).
+    use_pallas: bool = True
+
     @property
     def search_distance(self) -> int:
         # CPU/PixFlow.hpp:153-155

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Validate + time the Pallas TPU kernels against their jnp reference
+implementations (run on the TPU; the CPU test suite covers the jnp
+path)."""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/xla")
+
+from tools.bench_micro import device_time  # noqa: E402
+from panorama_opticalflow_tpu.ops import image as im  # noqa: E402
+from panorama_opticalflow_tpu.ops.pallas import kernels  # noqa: E402
+from panorama_opticalflow_tpu.ops import relax_fast as rf  # noqa: E402
+from panorama_opticalflow_tpu.utils.config import flow_params_by_name  # noqa: E402
+
+
+def main():
+    rng = np.random.default_rng(0)
+    H, W = 512, 1024
+
+    # ---- median ----
+    x = rng.random((H, W), np.float32).astype(np.float32)
+    ref = np.asarray(im.median5(jnp.asarray(x)))
+    got = np.asarray(jax.jit(kernels.median5_pallas)(jnp.asarray(x)))
+    err = np.abs(ref - got).max()
+    print(f"median5: max err {err:.2e} {'OK' if err == 0 else 'FAIL'}")
+
+    # ---- relax phase ----
+    params = flow_params_by_name("pixflow_low")
+    i0x = rng.standard_normal((H, W)).astype(np.float32) * 0.1
+    i0y = rng.standard_normal((H, W)).astype(np.float32) * 0.1
+    w1x = rng.standard_normal((H, W)).astype(np.float32) * 0.1
+    w1y = rng.standard_normal((H, W)).astype(np.float32) * 0.1
+    flow = rng.standard_normal((H, W, 2)).astype(np.float32) * 0.5
+    f_base = flow + rng.standard_normal((H, W, 2)).astype(np.float32) * 0.2
+    bf = rng.standard_normal((H, W, 2)).astype(np.float32) * 0.5
+    mask = (rng.random((H, W)) > 0.1)
+
+    w1g = jnp.stack([jnp.asarray(w1x), jnp.asarray(w1y)], -1)
+    ref = np.asarray(jax.jit(
+        lambda: rf.relax_phase_fast(
+            jnp.asarray(flow), jnp.asarray(f_base), w1g,
+            jnp.asarray(i0x), jnp.asarray(i0y), jnp.asarray(bf),
+            jnp.asarray(mask), params, iters=3, D=3))())
+
+    fx, fy = jax.jit(lambda: kernels.relax_phase_pallas(
+        jnp.asarray(flow[..., 0]), jnp.asarray(flow[..., 1]),
+        jnp.asarray(f_base[..., 0]), jnp.asarray(f_base[..., 1]),
+        jnp.asarray(w1x), jnp.asarray(w1y),
+        jnp.asarray(i0x), jnp.asarray(i0y),
+        jnp.asarray(bf[..., 0]), jnp.asarray(bf[..., 1]),
+        jnp.asarray(mask.astype(np.float32)), params, 3, 3))()
+    got = np.stack([np.asarray(fx), np.asarray(fy)], -1)
+    err = np.abs(ref - got)
+    # interior comparison (jnp path has image-global edge semantics the
+    # tiled kernel approximates within its halo)
+    inner = np.s_[8:-8, 8:-8]
+    print(f"relax: max err inner {err[inner].max():.2e} "
+          f"mean {err[inner].mean():.2e} "
+          f"{'OK' if err[inner].max() < 1e-4 else 'FAIL'}")
+
+    # ---- timing at 10 MP ----
+    H2, W2 = 2048, 4992
+    big = {k: rng.standard_normal((H2, W2)).astype(np.float32) * 0.2
+           for k in "abcdefghij"}
+    t = device_time(kernels.median5_pallas, big["a"], iters=10)
+    print(f"median5_pallas 10MP:   {t*1e3:7.2f} ms")
+    t = device_time(
+        lambda fx, fy, bx, by, w1x, w1y, i0x, i0y, bfx, bfy:
+        kernels.relax_phase_pallas(fx, fy, bx, by, w1x, w1y, i0x, i0y,
+                                   bfx, bfy, jnp.ones_like(fx), params,
+                                   5, 3),
+        *(big[k] for k in "abcdefghij"), iters=3)
+    print(f"relax5_pallas 10MP:    {t*1e3:7.2f} ms "
+          f"({t/5*1e3:.2f} ms/iter)")
+
+
+if __name__ == "__main__":
+    main()
