@@ -48,7 +48,7 @@ def main() -> None:
     # warmup / compile (one pair compiles the whole program; shapes are
     # shared by all 5 pairs)
     t0 = time.time()
-    out = pipeline.stitch_pair(photos[0], top, cfg)
+    out = pipeline.stitch_pair_auto(photos[0], top, cfg)
     out.block_until_ready()
     compile_s = time.time() - t0
 
@@ -57,7 +57,7 @@ def main() -> None:
         t0 = time.time()
         result = top
         for image_l in photos:
-            result = pipeline.stitch_pair(image_l, result, cfg)
+            result = pipeline.stitch_pair_auto(image_l, result, cfg)
         result.block_until_ready()
         best = min(best, time.time() - t0)
 

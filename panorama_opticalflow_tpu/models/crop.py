@@ -1,0 +1,121 @@
+"""Overlap-aware flow cropping.
+
+The reference computes dense flow over the entire (wrap-extended) canvas
+(CPU/OpticalFlow.cpp:102-145) even though the solver only updates pixels
+where both alphas exceed 0.9 and the merged novel view is transparent
+wherever either warped sample lands outside the overlap footprint
+(CPU/OpticalFlow.cpp:50-52).  The final composite therefore depends on
+flow values only within a margin of the overlap band.
+
+Here the flow runs on a cropped column window: the minimal circular
+(x-wrapping) column interval covering the overlap plus a margin and the
+cols/20 continuity extension, rolled to be contiguous and bucketed to a
+static width so jit compiles a small set of shapes.  Flow outside the
+window is zero, which leaves the composite unchanged (samples stay in
+place and hit transparent pixels).
+
+The column window is data-dependent: the caller computes it on the host
+from a tiny per-column reduction (one scalar-vector fetch per pair);
+everything else stays jitted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from panorama_opticalflow_tpu.ops import image as im
+from panorama_opticalflow_tpu.utils.config import StitchConfig
+
+# static width buckets (fractions of the canvas width)
+_BUCKETS = (0.25, 0.375, 0.5, 0.75, 1.0)
+
+
+@jax.jit
+def overlap_columns(canvas_map: jax.Array) -> jax.Array:
+    """Tiny device reduction: per-column 'has overlap' flags."""
+    return (canvas_map == 150).any(axis=0)
+
+
+def circular_interval(cols: np.ndarray, margin: int) -> tuple[int, int] | None:
+    """Smallest circular interval [start, start+length) covering all True
+    columns, grown by ``margin``.  None when no overlap exists."""
+    w = cols.shape[0]
+    idx = np.flatnonzero(cols)
+    if idx.size == 0:
+        return None
+    if idx.size == w:
+        return 0, w
+    # largest gap of False columns determines the complement
+    ext = np.concatenate([idx, idx[:1] + w])
+    gaps = np.diff(ext)
+    g = int(np.argmax(gaps))
+    start = int(ext[g + 1] % w)          # first True after the largest gap
+    length = w - int(gaps[g] - 1)        # covered span
+    start = (start - margin) % w
+    length = min(w, length + 2 * margin)
+    return start, length
+
+
+def choose_bucket(length: int, w: int) -> int:
+    for frac in _BUCKETS:
+        bw = int(w * frac)
+        if bw >= length:
+            # round to lane multiples for clean TPU layouts
+            return min(w, -(-bw // 128) * 128)
+    return w
+
+
+def crop_window(canvas_map_np: np.ndarray | jax.Array, cfg: StitchConfig,
+                margin: int = 64) -> tuple[int, int]:
+    """Host-side: (roll, width) such that rolling the canvas left by
+    ``roll`` makes columns [0, width) cover overlap+margin+extension.
+    width == W means no crop."""
+    cols = np.asarray(overlap_columns(jnp.asarray(canvas_map_np)))
+    w = cols.shape[0]
+    ext = w // cfg.flow_extend_div
+    iv = circular_interval(cols, margin + ext)
+    if iv is None:
+        return 0, choose_bucket(1, w)
+    start, length = iv
+    width = choose_bucket(length, w)
+    if width >= w:
+        return 0, w
+    # centre the covered span in the bucket
+    slack = (width - length) // 2
+    start = (start - slack) % w
+    return start, width
+
+
+def cropped_flows(image_l: jax.Array, image_r: jax.Array, roll: int,
+                  width: int, cfg: StitchConfig):
+    """Bidirectional flow on the rolled column window; returns full-canvas
+    flows (zero outside the window).
+
+    Matches novel_view.prepare_flows semantics with the wrap-extension
+    replaced by real neighbouring content (the window already includes
+    margin + extension columns).
+    """
+    from panorama_opticalflow_tpu.models.pixflow import compute_optical_flow
+
+    h, w = image_l.shape[:2]
+    if width >= w:
+        from panorama_opticalflow_tpu.models.novel_view import prepare_flows
+
+        return prepare_flows(image_l, image_r, cfg)
+
+    roll = jnp.asarray(roll)
+    rl = jnp.roll(image_l, -roll, axis=1)[:, :width]
+    rr = jnp.roll(image_r, -roll, axis=1)[:, :width]
+    params = cfg.flow_params
+    flow_lr = compute_optical_flow(rl, rr, params, "left")
+    flow_rl = compute_optical_flow(rr, rl, params, "right")
+
+    def embed(f):
+        full = jnp.zeros((h, w, 2), jnp.float32)
+        full = jax.lax.dynamic_update_slice(full, f, (0, 0, 0))
+        return jnp.roll(full, roll, axis=1)
+
+    return embed(flow_lr), embed(flow_rl)

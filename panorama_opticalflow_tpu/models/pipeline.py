@@ -36,17 +36,53 @@ def stitch_pair(
     return stitcher.gather_composite(ctx.map, image_l, image_r, merged, cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _prepare_jit(image_l, image_r, cfg: StitchConfig):
+    return stitcher.prepare(image_l, image_r, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "width"))
+def _flows_jit(ol, orr, roll, width: int, cfg: StitchConfig):
+    from panorama_opticalflow_tpu.models.crop import cropped_flows
+
+    return cropped_flows(ol, orr, roll, width, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _finish_jit(ctx, image_l, image_r, flow_lr, flow_rl, cfg: StitchConfig):
+    merged = novel_view.combine_novel_views(
+        ctx.overlapped_l, ctx.overlapped_r, flow_lr, flow_rl, ctx.blend)
+    return stitcher.gather_composite(ctx.map, image_l, image_r, merged, cfg)
+
+
+def stitch_pair_auto(
+    image_l: jax.Array, image_r: jax.Array, cfg: StitchConfig
+) -> jax.Array:
+    """stitch_pair with overlap-cropped flow (models/crop.py): the dense
+    solver runs only on a bucketed column window around the overlap band
+    -- identical composite, a fraction of the flow work.  One tiny
+    host-device sync per pair to pick the window."""
+    from panorama_opticalflow_tpu.models import crop
+
+    ctx = _prepare_jit(image_l, image_r, cfg)
+    roll, width = crop.crop_window(ctx.map, cfg)
+    flow_lr, flow_rl = _flows_jit(ctx.overlapped_l, ctx.overlapped_r,
+                                  jnp.asarray(roll), width, cfg)
+    return _finish_jit(ctx, image_l, image_r, flow_lr, flow_rl, cfg)
+
+
 def stitch_six(
     images: list[jax.Array], top: jax.Array, cfg: StitchConfig,
-    on_part=None,
+    on_part=None, use_crop: bool = True,
 ) -> jax.Array:
     """Iterative 6-input stitch (CPU/main.cpp:60-105): R starts as the top
     image and accumulates the panorama; L is photo i for i = 1..5.
     ``on_part(i, result)`` is called after each pass (the reference writes
     ProcessResult{i}.png there)."""
+    fn = stitch_pair_auto if use_crop else stitch_pair
     result = top
     for i, image_l in enumerate(images, start=1):
-        result = stitch_pair(image_l, result, cfg)
+        result = fn(image_l, result, cfg)
         if on_part is not None:
             on_part(i, result)
     return result
@@ -71,7 +107,9 @@ def compose_four(images: jax.Array) -> tuple[jax.Array, jax.Array]:
     return image_l, image_r
 
 
-def stitch_four(images: list[jax.Array], cfg: StitchConfig) -> jax.Array:
+def stitch_four(images: list[jax.Array], cfg: StitchConfig,
+                use_crop: bool = True) -> jax.Array:
     """Single-pass 4-input stitch (CPU_4Input/main.cpp:47-119)."""
     image_l, image_r = compose_four(jnp.stack(images))
-    return stitch_pair(image_l, image_r, cfg)
+    fn = stitch_pair_auto if use_crop else stitch_pair
+    return fn(image_l, image_r, cfg)

@@ -1,0 +1,60 @@
+"""Overlap-cropped flow path vs the full-canvas pipeline."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from panorama_opticalflow_tpu.models import crop, pipeline, stitcher
+from panorama_opticalflow_tpu.utils import io as pio
+from panorama_opticalflow_tpu.utils.config import StitchConfig
+from panorama_opticalflow_tpu.utils.metrics import ssim
+
+
+def test_circular_interval_basic():
+    cols = np.zeros(100, bool)
+    cols[40:60] = True
+    s, ln = crop.circular_interval(cols, 5)
+    assert s == 35 and ln == 30
+
+    # wrapping band
+    cols = np.zeros(100, bool)
+    cols[90:] = True
+    cols[:10] = True
+    s, ln = crop.circular_interval(cols, 0)
+    assert s == 90 and ln == 20
+
+    assert crop.circular_interval(np.zeros(10, bool), 1) is None
+
+
+def test_crop_window_buckets():
+    cfg = StitchConfig()
+    m = np.zeros((20, 1024), np.uint8)
+    m[:, 300:400] = 150
+    roll, width = crop.crop_window(m, cfg, margin=16)
+    assert width < 1024 and width % 128 == 0
+    # covered region must include the overlap + margin after rolling
+    cols = np.arange(1024)
+    rolled = (cols - roll) % 1024
+    assert (rolled[300:400] < width).all()
+
+
+def test_stitch_pair_auto_matches_full(rng):
+    h, w = 48, 256
+    photos, top = pio.synthesize_fisheye_set(h, w, n=5, seed=9)
+    cfg = StitchConfig()
+    full = np.asarray(pipeline.stitch_pair(jnp.asarray(photos[0]),
+                                           jnp.asarray(top), cfg))
+    auto = np.asarray(pipeline.stitch_pair_auto(jnp.asarray(photos[0]),
+                                                jnp.asarray(top), cfg))
+    assert auto.shape == full.shape
+    s = ssim(auto, full)
+    assert s >= 0.98, s
+    # the composite outside the overlap neighbourhood is bit-identical
+    m = np.asarray(stitcher.match_images(jnp.asarray(photos[0]),
+                                         jnp.asarray(top)))
+    away = (m != 150)
+    # erode: keep pixels far from overlap
+    import cv2
+
+    far = cv2.erode(away.astype(np.uint8), np.ones((9, 9), np.uint8)) > 0
+    np.testing.assert_array_equal(auto[far], full[far])
