@@ -89,15 +89,12 @@ def crop_window(canvas_map_np: np.ndarray | jax.Array, cfg: StitchConfig,
     return start, width
 
 
-def cropped_flows(image_l: jax.Array, image_r: jax.Array, roll: int,
-                  width: int, cfg: StitchConfig):
-    """Bidirectional flow on the rolled column window; returns full-canvas
-    flows (zero outside the window).
-
-    Matches novel_view.prepare_flows semantics with the wrap-extension
-    replaced by real neighbouring content (the window already includes
-    margin + extension columns).
-    """
+def cropped_flows_window(image_l: jax.Array, image_r: jax.Array, roll,
+                         width: int, cfg: StitchConfig):
+    """Bidirectional flow on the rolled column window; returns the
+    window-sized flows (callers composing on the window use these
+    directly).  Falls back to the full wrap-extended path when the
+    window is the whole canvas."""
     from panorama_opticalflow_tpu.models.pixflow import compute_optical_flow
 
     h, w = image_l.shape[:2]
@@ -105,17 +102,10 @@ def cropped_flows(image_l: jax.Array, image_r: jax.Array, roll: int,
         from panorama_opticalflow_tpu.models.novel_view import prepare_flows
 
         return prepare_flows(image_l, image_r, cfg)
-
     roll = jnp.asarray(roll)
     rl = jnp.roll(image_l, -roll, axis=1)[:, :width]
     rr = jnp.roll(image_r, -roll, axis=1)[:, :width]
     params = cfg.flow_params
     flow_lr = compute_optical_flow(rl, rr, params, "left")
     flow_rl = compute_optical_flow(rr, rl, params, "right")
-
-    def embed(f):
-        full = jnp.zeros((h, w, 2), jnp.float32)
-        full = jax.lax.dynamic_update_slice(full, f, (0, 0, 0))
-        return jnp.roll(full, roll, axis=1)
-
-    return embed(flow_lr), embed(flow_rl)
+    return flow_lr, flow_rl

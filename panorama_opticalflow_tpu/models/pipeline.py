@@ -42,10 +42,10 @@ def _prepare_jit(image_l, image_r, cfg: StitchConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg", "width"))
-def _flows_jit(ol, orr, roll, width: int, cfg: StitchConfig):
-    from panorama_opticalflow_tpu.models.crop import cropped_flows
+def _flows_window_jit(ol, orr, roll, width: int, cfg: StitchConfig):
+    from panorama_opticalflow_tpu.models.crop import cropped_flows_window
 
-    return cropped_flows(ol, orr, roll, width, cfg)
+    return cropped_flows_window(ol, orr, roll, width, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -55,20 +55,44 @@ def _finish_jit(ctx, image_l, image_r, flow_lr, flow_rl, cfg: StitchConfig):
     return stitcher.gather_composite(ctx.map, image_l, image_r, merged, cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg", "width"))
+def _finish_windowed_jit(ctx, image_l, image_r, flow_lr_w, flow_rl_w,
+                         roll, width: int, cfg: StitchConfig):
+    """Combine on the overlap window only (flow is zero elsewhere, so the
+    merged view is transparent there -- exact), then composite on the
+    full canvas."""
+    h, w = image_l.shape[:2]
+    if width >= w:
+        return _finish_jit(ctx, image_l, image_r, flow_lr_w, flow_rl_w, cfg)
+
+    def win(a):
+        return jnp.roll(a, -roll, axis=1)[:, :width]
+
+    merged_w = novel_view.combine_novel_views(
+        win(ctx.overlapped_l), win(ctx.overlapped_r),
+        flow_lr_w, flow_rl_w, win(ctx.blend))
+    merged = jnp.zeros((h, w, 4), jnp.uint8)
+    merged = jax.lax.dynamic_update_slice(merged, merged_w, (0, 0, 0))
+    merged = jnp.roll(merged, roll, axis=1)
+    return stitcher.gather_composite(ctx.map, image_l, image_r, merged, cfg)
+
+
 def stitch_pair_auto(
     image_l: jax.Array, image_r: jax.Array, cfg: StitchConfig
 ) -> jax.Array:
-    """stitch_pair with overlap-cropped flow (models/crop.py): the dense
-    solver runs only on a bucketed column window around the overlap band
-    -- identical composite, a fraction of the flow work.  One tiny
-    host-device sync per pair to pick the window."""
+    """stitch_pair with overlap-cropped flow + combine (models/crop.py):
+    the dense solver and the novel-view combiner run only on a bucketed
+    column window around the overlap band -- identical composite, a
+    fraction of the work.  One tiny host-device sync per pair to pick
+    the window."""
     from panorama_opticalflow_tpu.models import crop
 
     ctx = _prepare_jit(image_l, image_r, cfg)
     roll, width = crop.crop_window(ctx.map, cfg)
-    flow_lr, flow_rl = _flows_jit(ctx.overlapped_l, ctx.overlapped_r,
-                                  jnp.asarray(roll), width, cfg)
-    return _finish_jit(ctx, image_l, image_r, flow_lr, flow_rl, cfg)
+    flow_lr_w, flow_rl_w = _flows_window_jit(
+        ctx.overlapped_l, ctx.overlapped_r, jnp.asarray(roll), width, cfg)
+    return _finish_windowed_jit(ctx, image_l, image_r, flow_lr_w, flow_rl_w,
+                                jnp.asarray(roll), width, cfg)
 
 
 def stitch_six(
