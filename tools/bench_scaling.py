@@ -52,9 +52,18 @@ def main():
     cfg = StitchConfig()
     tc = tiled.TileConfig()
 
+    import os
+
+    devlist = os.environ.get("PANOSTITCH_SCALE_DEVICES")
+    if devlist:
+        ns = [int(t) for t in devlist.split(",") if int(t) <= ndev]
+    else:
+        ns, n = [], 1
+        while n <= ndev:
+            ns.append(n)
+            n *= 2
     results = []
-    n = 1
-    while n <= ndev:
+    for n in ns:
         mesh = make_mesh(n)
         t0 = time.time()
         out = tiled.tiled_stitch_pair(jnp.asarray(il), jnp.asarray(ir),
@@ -72,7 +81,6 @@ def main():
         results.append({"devices": n, "s": round(dt, 3),
                         "mp_per_s": round(mp_s, 2),
                         "compile_s": round(compile_s, 1)})
-        n *= 2
 
     base = results[0]["mp_per_s"]
     for r in results:
