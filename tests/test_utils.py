@@ -1,0 +1,52 @@
+"""Utility-layer tests: visualizers, metrics, runtime timers."""
+
+import numpy as np
+
+from panorama_opticalflow_tpu.utils import metrics, runtime, visualize
+
+
+def test_ssim_basics(rng):
+    img = rng.integers(0, 256, (40, 50, 3), np.uint8)
+    assert metrics.ssim(img, img) == 1.0
+    noisy = np.clip(img.astype(int)
+                    + rng.integers(-40, 40, img.shape), 0, 255).astype(np.uint8)
+    s = metrics.ssim(img, noisy)
+    assert 0.0 < s < 1.0
+    assert metrics.endpoint_error(np.zeros((4, 4, 2)),
+                                  np.ones((4, 4, 2))) == np.sqrt(2)
+
+
+def test_visualizers(rng):
+    flow = rng.normal(0, 3, (40, 60, 2)).astype(np.float32)
+    img = rng.integers(0, 256, (40, 60, 4), np.uint8)
+
+    grey = visualize.flow_as_grey_disparity(flow)
+    assert grey.shape == (40, 60) and grey.dtype == np.uint8
+    assert grey.min() == 0 and grey.max() == 255
+
+    wheel = visualize.flow_color_wheel(flow)
+    assert wheel.shape == (40, 60, 3) and wheel.dtype == np.uint8
+
+    field = visualize.flow_as_vector_field(flow, img)
+    assert field.shape == (40, 60, 3)
+
+    stacked = visualize.stack_horizontal([wheel, wheel])
+    assert stacked.shape == (40, 120, 3)
+
+
+def test_stage_timer(caplog):
+    import logging
+
+    t = runtime.StageTimer()
+    with caplog.at_level(logging.INFO, logger="panostitch"):
+        with t.stage("Part1"):
+            pass
+        total = t.total()
+    assert total >= 0
+    assert t.stages[0][0] == "Part1"
+    assert any("Part1" in r.message for r in caplog.records)
+
+
+def test_init_runtime_idempotent():
+    runtime.init_runtime(verbose=False, compilation_cache=False)
+    runtime.init_runtime(verbose=False, compilation_cache=False)
