@@ -76,7 +76,7 @@ def main():
             out = tiled.tiled_stitch_pair(jnp.asarray(il), jnp.asarray(ir),
                                           cfg, mesh, "y", tc)
         _ = np.asarray(out)
-        dt = (time.time() - t0) / reps
+        dt = max((time.time() - t0) / reps, 1e-6)
         mp_s = h * w / 1e6 / dt
         results.append({"devices": n, "s": round(dt, 3),
                         "mp_per_s": round(mp_s, 2),
