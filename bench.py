@@ -46,11 +46,17 @@ def run_once(w: int, h: int, repeats: int) -> dict:
     top = jax.device_put(top_np, dev)
     cfg = StitchConfig(flow_alg="pixflow_low")
 
+    def force(x):
+        # the dev tunnel's block_until_ready does not actually block;
+        # fetching one element forces the computation with a 4-byte
+        # transfer
+        return np.asarray(x[:1, :1, :1])
+
     # warmup / compile (one pair compiles the whole program; shapes are
     # shared by all 5 pairs)
     t0 = time.time()
     out = pipeline.stitch_pair_auto(photos[0], top, cfg)
-    out.block_until_ready()
+    force(out)
     compile_s = time.time() - t0
 
     best = float("inf")
@@ -59,7 +65,7 @@ def run_once(w: int, h: int, repeats: int) -> dict:
         result = top
         for image_l in photos:
             result = pipeline.stitch_pair_auto(image_l, result, cfg)
-        result.block_until_ready()
+        force(result)
         best = min(best, time.time() - t0)
 
     mp = h * w / 1e6
