@@ -56,7 +56,14 @@ def cmd_stitch6(args) -> None:
     result = jnp.asarray(top)
     for i, image_l in enumerate(images, start=1):
         with timer.stage(f"Part{i}"):
-            result = pipeline.stitch_pair(jnp.asarray(image_l), result, cfg)
+            if args.debug_dump:
+                result, inter = pipeline.stitch_pair_debug(
+                    jnp.asarray(image_l), result, cfg)
+                pipeline.dump_intermediates(inter, args.debug_dump,
+                                            f"part{i}", args.flow_alg)
+            else:
+                result = pipeline.stitch_pair_auto(jnp.asarray(image_l),
+                                                   result, cfg)
             result.block_until_ready()
         name = "FinalResult.png" if i == 5 else f"ProcessResult{i}.png"
         nio.write_image_fast(os.path.join(args.test_dir, name),
@@ -76,7 +83,13 @@ def cmd_stitch4(args) -> None:
 
     images = [jnp.asarray(_load(args.test_dir, str(i))) for i in range(1, 5)]
     with timer.stage("Stitch"):
-        result = pipeline.stitch_four(images, cfg)
+        if args.debug_dump:
+            il, ir = pipeline.compose_four(jnp.stack(images))
+            result, inter = pipeline.stitch_pair_debug(il, ir, cfg)
+            pipeline.dump_intermediates(inter, args.debug_dump, "stitch",
+                                        args.flow_alg)
+        else:
+            result = pipeline.stitch_four(images, cfg)
         result.block_until_ready()
     nio.write_image_fast(os.path.join(args.test_dir, "FinalResult.png"),
                          np.asarray(result))
@@ -110,6 +123,8 @@ def main(argv=None) -> None:
                         help="path to dir with test files")
         sp.add_argument("--flow_alg", default="",
                         help="pixflow_low or pixflow_search_20")
+        sp.add_argument("--debug_dump", default="",
+                        help="directory for intermediate/flow-vis dumps")
 
     sp6 = sub.add_parser("stitch6", help="6-input iterative stitch")
     common(sp6)

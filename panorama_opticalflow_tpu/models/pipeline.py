@@ -95,6 +95,64 @@ def stitch_pair_auto(
                                 jnp.asarray(roll), width, cfg)
 
 
+def stitch_pair_debug(
+    image_l: jax.Array, image_r: jax.Array, cfg: StitchConfig
+) -> tuple[jax.Array, dict]:
+    """stitch_pair that also returns the intermediates the reference can
+    dump (Map, Blend, OverlappedL/R, mergedmiddle, flows -- the
+    commented imwrites at CPU/main.cpp:73-76,91 and the visualisers of
+    CPU/OpticalFlow.cpp:147-204)."""
+    ctx = _prepare_jit(image_l, image_r, cfg)
+    flows = novel_view.prepare_flows(ctx.overlapped_l, ctx.overlapped_r, cfg)
+    merged = novel_view.combine_novel_views(
+        ctx.overlapped_l, ctx.overlapped_r,
+        flows.flow_l_to_r, flows.flow_r_to_l, ctx.blend)
+    out = stitcher.gather_composite(ctx.map, image_l, image_r, merged, cfg)
+    inter = {
+        "Map": ctx.map,
+        "Blend": ctx.blend,
+        "OverlappedL": ctx.overlapped_l,
+        "OverlappedR": ctx.overlapped_r,
+        "mergedmiddle": merged,
+        "flowLtoR": flows.flow_l_to_r,
+        "flowRtoL": flows.flow_r_to_l,
+    }
+    return out, inter
+
+
+def dump_intermediates(inter: dict, out_dir: str, tag: str,
+                       flow_alg: str) -> None:
+    """Write the debug intermediates like the reference's (commented)
+    dumps, plus the three flow visualisations."""
+    import os
+
+    import numpy as np
+
+    from panorama_opticalflow_tpu.utils import visualize
+    from panorama_opticalflow_tpu.utils.native_io import write_image_fast
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def w8(name, arr):
+        write_image_fast(os.path.join(out_dir, f"{tag}_{name}.png"),
+                         np.asarray(arr))
+
+    w8("Map", np.asarray(inter["Map"]))
+    w8("Blend", (np.asarray(inter["Blend"]) * 255).astype("uint8"))
+    w8("OverlappedL", inter["OverlappedL"])
+    w8("OverlappedR", inter["OverlappedR"])
+    w8("mergedmiddle", inter["mergedmiddle"])
+    for key in ("flowLtoR", "flowRtoL"):
+        flow = np.asarray(inter[key])
+        grey = visualize.flow_as_grey_disparity(flow)
+        wheel = visualize.flow_color_wheel(flow)
+        field = visualize.flow_as_vector_field(
+            flow, np.asarray(inter["OverlappedL"]))
+        vis = visualize.stack_horizontal(
+            [np.stack([grey] * 3, -1), wheel, field])
+        w8(f"{key}_{flow_alg}", vis)
+
+
 def stitch_six(
     images: list[jax.Array], top: jax.Array, cfg: StitchConfig,
     on_part=None, use_crop: bool = True,
