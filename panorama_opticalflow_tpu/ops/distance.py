@@ -25,6 +25,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _INF = jnp.float32(jnp.inf)
 
@@ -58,31 +59,61 @@ def _strided_first_hit_x(mask: jax.Array, step: int, reverse: bool) -> jax.Array
     return d.reshape(h, wq * step)[:, :w]
 
 
-def _shear(mask: jax.Array, sign: int) -> jax.Array:
+def _roll_rows_by_index(arr: jax.Array, direction: int,
+                        row_offset: int | jax.Array = 0,
+                        max_index: int | None = None) -> jax.Array:
+    """Circularly roll each row y by ``direction * (y + row_offset)``
+    columns, via binary decomposition of the shift (log2(H) fused
+    roll+select passes -- a per-row gather would be ~30x slower on TPU).
+    ``row_offset``/``max_index`` support sharded callers whose local row
+    0 is global row ``row_offset`` (indices reach max_index-1)."""
+    h = arr.shape[0]
+    y = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0) + row_offset
+    out = arr
+    k = 1
+    maxshift = 1 << int(np.ceil(np.log2(max(2, max_index or 2 * h))))
+    while k < maxshift:
+        rolled = jnp.roll(out, direction * k, axis=1)
+        out = jnp.where((y & k) != 0, rolled, out)
+        k <<= 1
+    return out
+
+
+def _shear(mask: jax.Array, sign: int,
+           row_offset: int | jax.Array = 0,
+           total_h: int | None = None) -> jax.Array:
     """Reindex so diagonals become columns.
 
     sign=+1: out[y, x - y + (H-1)] = mask[y, x]  (conserves x - y; the
     (+1,+1)/(-1,-1) diagonals are columns of the output).
     sign=-1: out[y, x + y] = mask[y, x]          (conserves x + y; the
     (+1,-1)/(-1,+1) diagonals are columns).
-    Out-of-range entries are False.
+    Out-of-range entries are False.  For row-sharded callers pass the
+    global ``row_offset`` of local row 0 and the global ``total_h``.
     """
     h, w = mask.shape
-    wc = w + h - 1
-    padded = jnp.pad(mask, ((0, 0), (0, wc - w + 1)))  # zeros tail to wrap into
-    c = jax.lax.broadcasted_iota(jnp.int32, (h, wc), 1)
-    y = jax.lax.broadcasted_iota(jnp.int32, (h, wc), 0)
-    x = (c - (h - 1) + y) if sign > 0 else (c - y)
-    src = jnp.where((x >= 0) & (x < w), x, w)  # w indexes the zero tail
-    return jnp.take_along_axis(padded, src, axis=1)
+    th = total_h if total_h is not None else h
+    wc = w + th - 1
+    padded = jnp.pad(mask, ((0, 0), (0, wc - w)))
+    if sign > 0:
+        # shift row y right by (th-1) - (y+off): uniform roll then
+        # per-row inverse roll
+        shifted = jnp.roll(padded, th - 1, axis=1)
+        return _roll_rows_by_index(shifted, -1, row_offset, th)
+    return _roll_rows_by_index(padded, +1, row_offset, th)
 
 
-def _unshear(arr: jax.Array, sign: int, w: int) -> jax.Array:
+def _unshear(arr: jax.Array, sign: int, w: int,
+             row_offset: int | jax.Array = 0,
+             total_h: int | None = None) -> jax.Array:
     h = arr.shape[0]
-    y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    c = (x - y + (h - 1)) if sign > 0 else (x + y)
-    return jnp.take_along_axis(arr, c, axis=1)
+    th = total_h if total_h is not None else h
+    if sign > 0:
+        out = _roll_rows_by_index(arr, +1, row_offset, th)
+        out = jnp.roll(out, -(th - 1), axis=1)
+    else:
+        out = _roll_rows_by_index(arr, -1, row_offset, th)
+    return out[:, :w]
 
 
 def _strided_first_hit_axis0(mask: jax.Array, step: int, reverse: bool) -> jax.Array:

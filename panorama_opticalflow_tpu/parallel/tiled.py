@@ -259,12 +259,12 @@ def _tiled_eight_ray(mask: jax.Array, step: int, max_i: float,
     wcs = _cdiv(ws, n)
     x_ids = jnp.arange(ws)[None, :]
 
+    from panorama_opticalflow_tpu.ops.distance import _unshear
+
     def unshear(dist_rows, sign):
-        # dist_rows: (h, n*wcs) row-sharded sheared distances
-        xs = jnp.arange(w)[None, :]
-        c = (xs - g_rows + (hp - 1)) if sign > 0 else (xs + g_rows)
-        c = jnp.clip(c, 0, dist_rows.shape[1] - 1)
-        return jnp.take_along_axis(dist_rows, c, axis=1)
+        # dist_rows: (h, n*wcs) row-sharded sheared distances; roll-based
+        # unshear with the shard's global row offset
+        return _unshear(dist_rows, sign, w, row_offset=d * h, total_h=hp)
 
     full_nc0 = jnp.where(jnp.arange(w)[None, :] == 0, False, full)
     full_nr0 = no_row0
