@@ -277,7 +277,9 @@ def patch_match_level(
         from panorama_opticalflow_tpu.ops.relax_fast import (
             relax_phase_fast, warp_by_flow_tiled)
 
-        pallas_ok = kernels.on_tpu() and params.use_pallas
+        pallas_ok = (kernels.on_tpu() and params.use_pallas
+                     and i0.shape[0] * i0.shape[1]
+                     >= params.pallas_min_pixels)
 
         def median_flow(f):
             if pallas_ok:

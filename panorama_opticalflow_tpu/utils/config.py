@@ -70,8 +70,11 @@ class FlowParams:
     relax_impl: str = "fast"
     fast_window: int = 3
     # Use the Pallas TPU kernels for the fast path (median + relax
-    # phase); pure-jnp fallback otherwise (identical semantics).
+    # phase); pure-jnp fallback otherwise (identical semantics).  Small
+    # pyramid levels stay on the fused XLA path: per-kernel DMA/launch
+    # overhead exceeds the arithmetic there.
     use_pallas: bool = True
+    pallas_min_pixels: int = 128 * 512
 
     @property
     def search_distance(self) -> int:
