@@ -85,7 +85,10 @@ def run_once(w: int, h: int, repeats: int) -> dict:
 
 
 def main() -> None:
-    canvas = os.environ.get("PANOSTITCH_BENCH_CANVAS", "9000x4000")
+    # default to the size whose compiled program is in the persistent
+    # cache; the 9000x4000 headline compile takes >1.5h through the
+    # dev tunnel compiler (see PERFORMANCE.md / ROADMAP.md)
+    canvas = os.environ.get("PANOSTITCH_BENCH_CANVAS", "2250x1000")
     repeats = int(os.environ.get("PANOSTITCH_BENCH_REPEATS", "1"))
     w, h = (int(t) for t in canvas.split("x"))
     # fall back through half-sizes if the headline size fails (e.g. the
