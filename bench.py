@@ -52,19 +52,17 @@ def run_once(w: int, h: int, repeats: int) -> dict:
         # transfer
         return np.asarray(x[:1, :1, :1])
 
-    # warmup / compile (one pair compiles the whole program; shapes are
-    # shared by all 5 pairs)
+    # warmup / compile: the full chain (pairs with distinct window
+    # buckets compile separately; the persistent cache carries them over)
     t0 = time.time()
-    out = pipeline.stitch_pair_auto(photos[0], top, cfg)
+    out = pipeline.stitch_six(photos, top, cfg)
     force(out)
     compile_s = time.time() - t0
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.time()
-        result = top
-        for image_l in photos:
-            result = pipeline.stitch_pair_auto(image_l, result, cfg)
+        result = pipeline.stitch_six(photos, top, cfg)
         force(result)
         best = min(best, time.time() - t0)
 

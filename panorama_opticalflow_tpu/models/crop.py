@@ -89,13 +89,60 @@ def crop_window(canvas_map_np: np.ndarray | jax.Array, cfg: StitchConfig,
     return start, width
 
 
+@jax.jit
+def _chain_overlap_columns(alphas_l: jax.Array, alpha_top: jax.Array):
+    """Per-pair overlap-column flags for the iterative 6-input chain.
+
+    Pair i stitches L = photos[i] against R = the accumulated panorama,
+    whose footprint is exactly the union of the top photo and photos
+    0..i-1 (the composite only ever fills where some input had alpha,
+    CPU/StitchTool.cpp:52-96).  That makes every pair's overlap window
+    computable from the *inputs* alone -- one tiny device program and a
+    single host fetch up front instead of a blocking per-pair sync.
+
+    alphas_l: (N, H, W) bool L footprints; alpha_top: (H, W) bool.
+    Returns (N, W) bool: columns where pair i's canvas map has overlap.
+    """
+    def step(acc, al):
+        cols = (al & acc).any(axis=0)
+        return acc | al, cols
+
+    _, cols = jax.lax.scan(step, alpha_top, alphas_l)
+    return cols
+
+
+def plan_chain_windows(photos: list[jax.Array], top: jax.Array,
+                       cfg: StitchConfig, margin: int = 64
+                       ) -> list[tuple[int, int]]:
+    """Host-side: (roll, width) crop windows for all pairs of the
+    6-input iterative chain, from one batched column reduction."""
+    alphas = jnp.stack([p[..., 3] > 0 for p in photos])
+    cols = np.asarray(_chain_overlap_columns(alphas, top[..., 3] > 0))
+    w = cols.shape[1]
+    ext = w // cfg.flow_extend_div
+    windows = []
+    for i in range(cols.shape[0]):
+        iv = circular_interval(cols[i], margin + ext)
+        if iv is None:
+            windows.append((0, choose_bucket(1, w)))
+            continue
+        start, length = iv
+        width = choose_bucket(length, w)
+        if width >= w:
+            windows.append((0, w))
+            continue
+        slack = (width - length) // 2
+        windows.append(((start - slack) % w, width))
+    return windows
+
+
 def cropped_flows_window(image_l: jax.Array, image_r: jax.Array, roll,
                          width: int, cfg: StitchConfig):
     """Bidirectional flow on the rolled column window; returns the
     window-sized flows (callers composing on the window use these
     directly).  Falls back to the full wrap-extended path when the
     window is the whole canvas."""
-    from panorama_opticalflow_tpu.models.pixflow import compute_optical_flow
+    from panorama_opticalflow_tpu.models.pixflow import compute_optical_flow_pair
 
     h, w = image_l.shape[:2]
     if width >= w:
@@ -105,7 +152,4 @@ def cropped_flows_window(image_l: jax.Array, image_r: jax.Array, roll,
     roll = jnp.asarray(roll)
     rl = jnp.roll(image_l, -roll, axis=1)[:, :width]
     rr = jnp.roll(image_r, -roll, axis=1)[:, :width]
-    params = cfg.flow_params
-    flow_lr = compute_optical_flow(rl, rr, params, "left")
-    flow_rl = compute_optical_flow(rr, rl, params, "right")
-    return flow_lr, flow_rl
+    return compute_optical_flow_pair(rl, rr, cfg.flow_params, "left", "right")

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from panorama_opticalflow_tpu.ops import image as im
 from panorama_opticalflow_tpu.ops.warp import sample_nearest_wrap
-from panorama_opticalflow_tpu.models.pixflow import compute_optical_flow
+from panorama_opticalflow_tpu.models.pixflow import compute_optical_flow_pair
 from panorama_opticalflow_tpu.utils.config import StitchConfig
 
 # Deghost constants (CPU/OpticalFlow.cpp:57-59)
@@ -42,8 +42,8 @@ def prepare_flows(
     ext_l = im.wrap_extend_x(image_l, length)
     ext_r = im.wrap_extend_x(image_r, length)
     params = cfg.flow_params
-    flow_lr = compute_optical_flow(ext_l, ext_r, params, "left")
-    flow_rl = compute_optical_flow(ext_r, ext_l, params, "right")
+    flow_lr, flow_rl = compute_optical_flow_pair(ext_l, ext_r, params,
+                                                 "left", "right")
     return NovelViewFlows(im.crop_x(flow_lr, length), im.crop_x(flow_rl, length))
 
 

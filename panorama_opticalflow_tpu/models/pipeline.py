@@ -78,17 +78,19 @@ def _finish_windowed_jit(ctx, image_l, image_r, flow_lr_w, flow_rl_w,
 
 
 def stitch_pair_auto(
-    image_l: jax.Array, image_r: jax.Array, cfg: StitchConfig
+    image_l: jax.Array, image_r: jax.Array, cfg: StitchConfig,
+    window: tuple[int, int] | None = None,
 ) -> jax.Array:
     """stitch_pair with overlap-cropped flow + combine (models/crop.py):
     the dense solver and the novel-view combiner run only on a bucketed
     column window around the overlap band -- identical composite, a
-    fraction of the work.  One tiny host-device sync per pair to pick
-    the window."""
+    fraction of the work.  ``window`` is a precomputed (roll, width)
+    (e.g. from crop.plan_chain_windows); when None it is derived from
+    the pair's map with one tiny host-device sync."""
     from panorama_opticalflow_tpu.models import crop
 
     ctx = _prepare_jit(image_l, image_r, cfg)
-    roll, width = crop.crop_window(ctx.map, cfg)
+    roll, width = crop.crop_window(ctx.map, cfg) if window is None else window
     flow_lr_w, flow_rl_w = _flows_window_jit(
         ctx.overlapped_l, ctx.overlapped_r, jnp.asarray(roll), width, cfg)
     return _finish_windowed_jit(ctx, image_l, image_r, flow_lr_w, flow_rl_w,
@@ -160,11 +162,23 @@ def stitch_six(
     """Iterative 6-input stitch (CPU/main.cpp:60-105): R starts as the top
     image and accumulates the panorama; L is photo i for i = 1..5.
     ``on_part(i, result)`` is called after each pass (the reference writes
-    ProcessResult{i}.png there)."""
-    fn = stitch_pair_auto if use_crop else stitch_pair
+    ProcessResult{i}.png there).
+
+    With ``use_crop`` every pair's overlap window is planned up front
+    from the input alpha footprints (crop.plan_chain_windows), so the
+    whole 5-pair chain enqueues without a single blocking host sync."""
     result = top
+    if use_crop:
+        from panorama_opticalflow_tpu.models import crop
+
+        windows = crop.plan_chain_windows(images, top, cfg)
+        for i, (image_l, window) in enumerate(zip(images, windows), start=1):
+            result = stitch_pair_auto(image_l, result, cfg, window=window)
+            if on_part is not None:
+                on_part(i, result)
+        return result
     for i, image_l in enumerate(images, start=1):
-        result = fn(image_l, result, cfg)
+        result = stitch_pair(image_l, result, cfg)
         if on_part is not None:
             on_part(i, result)
     return result

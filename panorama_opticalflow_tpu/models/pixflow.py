@@ -318,6 +318,16 @@ def patch_match_level(
     return low_alpha_flow_diffusion(flow, alpha0, alpha1, params)
 
 
+def _preprocess(rgba: jax.Array, params: FlowParams,
+                out_hw: tuple[int, int]) -> tuple[jax.Array, jax.Array]:
+    """Downscale + grey/alpha floats + pre-blur (CPU/PixFlow.hpp:78-103)."""
+    r = im.resize_u8(rgba, out_hw, "cubic")
+    g = im.rgba_to_gray_u8(r).astype(jnp.float32) / 255.0
+    a = r[..., 3].astype(jnp.float32) / 255.0
+    g = im.gaussian_blur(g, params.pre_blur_kernel_width, params.pre_blur_sigma)
+    return g, a
+
+
 def compute_optical_flow(
     rgba0: jax.Array, rgba1: jax.Array, params: FlowParams, hint: str
 ) -> jax.Array:
@@ -325,16 +335,8 @@ def compute_optical_flow(
     flow at the input resolution.  Inputs are (H, W, 4) uint8 RGBA."""
     h, w = rgba0.shape[:2]
     dh, dw = int(h * params.downscale_factor), int(w * params.downscale_factor)
-    r0 = im.resize_u8(rgba0, (dh, dw), "cubic")
-    r1 = im.resize_u8(rgba1, (dh, dw), "cubic")
-
-    i0 = im.rgba_to_gray_u8(r0).astype(jnp.float32) / 255.0
-    i1 = im.rgba_to_gray_u8(r1).astype(jnp.float32) / 255.0
-    a0 = r0[..., 3].astype(jnp.float32) / 255.0
-    a1 = r1[..., 3].astype(jnp.float32) / 255.0
-
-    i0 = im.gaussian_blur(i0, params.pre_blur_kernel_width, params.pre_blur_sigma)
-    i1 = im.gaussian_blur(i1, params.pre_blur_kernel_width, params.pre_blur_sigma)
+    i0, a0 = _preprocess(rgba0, params, (dh, dw))
+    i1, a1 = _preprocess(rgba1, params, (dh, dw))
 
     sizes = pyramid_sizes(dh, dw, params)
     p_i0 = _build_pyramid(i0, sizes)
@@ -355,3 +357,154 @@ def compute_optical_flow(
     flow = im.gaussian_blur(flow, params.final_flow_blur_kernel_width,
                             params.final_flow_blur_sigma)
     return flow
+
+
+# ---------------------------------------------------------------------------
+# Direction-batched pair solver
+# ---------------------------------------------------------------------------
+#
+# The novel-view generator always needs *both* flow directions of a pair
+# (CPU/OpticalFlow.cpp:128-139).  Running them as two independent solver
+# calls doubles the number of per-level kernel launches -- the dominant
+# fixed cost at the ~30-40 small pyramid levels -- and rebuilds the same
+# image pyramids twice.  Here both directions share one set of pyramids
+# and every per-level op processes a leading batch axis of 2 (vmap on the
+# XLA path; a leading grid dimension in the Pallas kernels), so per-level
+# launch count matches a single direction.  Semantics are identical to
+# two compute_optical_flow calls.
+
+
+def patch_match_level_batched(
+    imgs: jax.Array,
+    alphas: jax.Array,
+    flow: jax.Array | None,
+    hints: tuple[str, str],
+    params: FlowParams,
+) -> jax.Array:
+    """Batched patch_match_level over the two directions of a pair.
+
+    ``imgs``/``alphas`` are (2, H, W): index 0 is the pair's first image,
+    index 1 the second.  Direction b solves flow from imgs[b] to
+    imgs[1-b], so per-direction inputs are i0 = imgs, i1 = imgs[::-1].
+    ``flow`` is (2, H, W, 2) or None at the coarsest level.
+    """
+    gk, gs = params.gradient_blur_kernel_width, params.gradient_blur_sigma
+    # one gradient computation per unique image; each serves as i0 grads
+    # in its own direction and (flipped) as i1 grads in the other
+    gx = jax.vmap(lambda g: im.gaussian_blur(im.sobel_x(g), gk, gs))(imgs)
+    gy = jax.vmap(lambda g: im.gaussian_blur(im.sobel_y(g), gk, gs))(imgs)
+    i0x, i0y = gx, gy
+    i1g = jnp.stack([gx[::-1], gy[::-1]], axis=-1)  # (2, H, W, 2)
+    a0, a1 = alphas, alphas[::-1]
+
+    coarsest = flow is None
+    if coarsest:
+        flows = []
+        for b, hint in enumerate(hints):
+            f = jnp.zeros(imgs.shape[1:] + (2,), jnp.float32) \
+                + 0.0 * imgs[b][..., None]
+            if params.max_percentage > 0 and hint != "unknown":
+                f = adjust_initial_flow(imgs[b], imgs[1 - b], a0[b], a1[b],
+                                        hint, params)
+            flows.append(f)
+        flow = jnp.stack(flows)
+
+    blurred_flow = jax.vmap(lambda f: im.gaussian_blur(
+        f, params.blurred_flow_kernel_width, params.blurred_flow_sigma))(flow)
+    update_mask = ((a0 > params.update_alpha_threshold)
+                   & (a1 > params.update_alpha_threshold))
+
+    phases = params.coarsest_relax_phases if coarsest else params.relax_phases
+    iters = (params.coarsest_relax_iters_per_phase if coarsest
+             else params.relax_iters_per_phase)
+
+    use_fast = params.relax_impl == "fast" and not coarsest
+    if use_fast:
+        from panorama_opticalflow_tpu.ops.pallas import kernels
+        from panorama_opticalflow_tpu.ops.relax_fast import (
+            relax_phase_fast, warp_by_flow_tiled)
+
+        nb, h, w = imgs.shape
+        pallas_ok = (kernels.on_tpu() and params.use_pallas
+                     and h * w >= params.pallas_min_pixels)
+
+        def median_flow(f):
+            if pallas_ok:
+                planes = jnp.moveaxis(f, 3, 1).reshape(nb * 2, h, w)
+                med = kernels.median5_pallas(planes)
+                return jnp.moveaxis(med.reshape(nb, 2, h, w), 1, 3)
+            return jax.vmap(im.median5)(f)
+
+        vwarp = jax.vmap(warp_by_flow_tiled)
+        for _ in range(phases):
+            f_base = flow
+            w1g_warp = vwarp(i1g, f_base)
+            if pallas_ok:
+                fx, fy = kernels.relax_phase_pallas(
+                    flow[..., 0], flow[..., 1],
+                    f_base[..., 0], f_base[..., 1],
+                    w1g_warp[..., 0], w1g_warp[..., 1],
+                    i0x, i0y,
+                    blurred_flow[..., 0], blurred_flow[..., 1],
+                    update_mask.astype(jnp.float32),
+                    params, iters, params.fast_window)
+                flow = jnp.stack([fx, fy], axis=-1)
+            else:
+                flow = jax.vmap(
+                    lambda f, fb, wg, gx_, gy_, bf, m: relax_phase_fast(
+                        f, fb, wg, gx_, gy_, bf, m, params, iters,
+                        D=params.fast_window)
+                )(flow, f_base, w1g_warp, i0x, i0y, blurred_flow, update_mask)
+            flow = median_flow(flow)
+    else:
+        def run_phase(f, gx_, gy_, g1, bf, m):
+            def one_iter(fc, _):
+                return relax_iteration(fc, gx_, gy_, g1, bf, m, params), None
+            fc, _ = jax.lax.scan(one_iter, f, None, length=iters)
+            return im.median5(fc)
+
+        for _ in range(phases):
+            flow = jax.vmap(run_phase)(flow, i0x, i0y, i1g, blurred_flow,
+                                       update_mask)
+    return jax.vmap(lambda f, x, y: low_alpha_flow_diffusion(f, x, y, params)
+                    )(flow, a0, a1)
+
+
+def compute_optical_flow_pair(
+    rgba0: jax.Array, rgba1: jax.Array, params: FlowParams,
+    hint01: str = "left", hint10: str = "right",
+) -> tuple[jax.Array, jax.Array]:
+    """Both flow directions of a pair in one batched pyramid descent.
+
+    Returns (flow 0->1 with hint01, flow 1->0 with hint10); numerically
+    identical to two compute_optical_flow calls, at roughly half the
+    per-level launch count and one shared set of image pyramids.
+    """
+    h, w = rgba0.shape[:2]
+    dh, dw = int(h * params.downscale_factor), int(w * params.downscale_factor)
+    g0, a0 = _preprocess(rgba0, params, (dh, dw))
+    g1, a1 = _preprocess(rgba1, params, (dh, dw))
+
+    sizes = pyramid_sizes(dh, dw, params)
+    p_g = [_build_pyramid(g, sizes) for g in (g0, g1)]
+    p_a = [_build_pyramid(a, sizes) for a in (a0, a1)]
+
+    hints = (hint01, hint10)
+
+    def vresize(f, s, m):
+        return jax.vmap(lambda x: im.resize(x, s, m))(f)
+    flow = None
+    for level in range(len(sizes) - 1, -1, -1):
+        imgs = jnp.stack([p_g[0][level], p_g[1][level]])
+        alphas = jnp.stack([p_a[0][level], p_a[1][level]])
+        flow = patch_match_level_batched(imgs, alphas, flow, hints, params)
+        if level > 0:
+            flow = vresize(flow, sizes[level - 1], "cubic")
+            flow = flow * (1.0 / params.pyr_scale_factor)
+
+    flow = vresize(flow, (h, w), "linear")
+    flow = flow * (1.0 / params.downscale_factor)
+    flow = jax.vmap(lambda f: im.gaussian_blur(
+        f, params.final_flow_blur_kernel_width,
+        params.final_flow_blur_sigma))(flow)
+    return flow[0], flow[1]

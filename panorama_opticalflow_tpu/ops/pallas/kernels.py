@@ -83,37 +83,44 @@ _MED_TH, _MED_TW = 128, 512
 def _median5_kernel(x_hbm, o_ref, x_vmem, sem):
     # DMA windows must be tiling-aligned (8, 128); read a slightly larger
     # aligned window and slice values in registers.
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     c = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * _MED_TH, _MED_TH + 8),
+        x_hbm.at[b, pl.ds(i * _MED_TH, _MED_TH + 8),
                  pl.ds(j * _MED_TW, _MED_TW + 128)], x_vmem, sem)
     c.start()
     c.wait()
     v = x_vmem[:, :]
     shifts = [v[dy:dy + _MED_TH, dx:dx + _MED_TW]
               for dy in range(5) for dx in range(5)]
-    o_ref[:, :] = _median25(shifts)
+    o_ref[0, :, :] = _median25(shifts)
 
 
 def median5_pallas(x: jax.Array) -> jax.Array:
-    """cv::medianBlur 5x5, BORDER_REPLICATE, for one (H, W) f32 plane."""
-    h, w = x.shape
+    """cv::medianBlur 5x5, BORDER_REPLICATE, for (H, W) or (B, H, W) f32
+    planes.  A batch of planes (e.g. fx/fy of both flow directions) runs
+    as one launch with a leading grid dimension."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    nb, h, w = x.shape
     gh, gw = _cdiv(h, _MED_TH), _cdiv(w, _MED_TW)
     hp, wp = gh * _MED_TH, gw * _MED_TW
     # replicate-pad 2 for the window plus aligned-window slack
-    xp = jnp.pad(x, ((2, hp - h + 6), (2, wp - w + 126)), mode="edge")
+    xp = jnp.pad(x, ((0, 0), (2, hp - h + 6), (2, wp - w + 126)), mode="edge")
     out = pl.pallas_call(
         _median5_kernel,
-        grid=(gh, gw),
+        grid=(nb, gh, gw),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((_MED_TH, _MED_TW), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((1, _MED_TH, _MED_TW), lambda b, i, j: (b, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((_MED_TH + 8, _MED_TW + 128), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )(xp)
-    return out[:h, :w]
+    out = out[:, :h, :w]
+    return out[0] if squeeze else out
 
 
 # ---------------------------------------------------------------------------
@@ -136,9 +143,12 @@ def relax_phase_pallas(
 ):
     """K relaxation iterations on channel-split planes.
 
-    All inputs (H, W) float32 (mask: 1.0 where updatable).  Returns
-    (fx', fy').  Semantics match ops.relax_fast.relax_phase_fast (the
-    separable hat-sampling formulation).
+    All inputs (H, W) or batched (B, H, W) float32 (mask: 1.0 where
+    updatable).  Returns (fx', fy') of the input shape.  A batch (the
+    two flow directions of a stitch pair) runs as one launch with a
+    leading grid dimension.  Semantics match
+    ops.relax_fast.relax_phase_fast (the separable hat-sampling
+    formulation).
 
     Implementation notes (hard-won on v5e Mosaic):
       * the hat window is evaluated separably -- an x-pass accumulates
@@ -153,7 +163,12 @@ def relax_phase_pallas(
     def rup(a, m):
         return -(-a // m) * m
 
-    h, w = fx.shape
+    squeeze = fx.ndim == 2
+    planes = [fx, fy, bx, by, w1x, w1y, i0x, i0y, bfx, bfy, mask]
+    if squeeze:
+        planes = [a[None] for a in planes]
+    (fx, fy, bx, by, w1x, w1y, i0x, i0y, bfx, bfy, mask) = planes
+    nb, h, w = fx.shape
     th, tw = tile
     halo = iters + D + 2      # propagation + sampling contamination
     ps = D + 2                # sampling reach of the hat window
@@ -170,8 +185,8 @@ def relax_phase_pallas(
     thw_a, tww_a = xr_a + 16, xw_a + 128
 
     def pad_to(a, top, height, width):
-        return jnp.pad(a, ((top, height - top - a.shape[0]),
-                           (top, width - top - a.shape[1])), mode="edge")
+        return jnp.pad(a, ((0, 0), (top, height - top - a.shape[1]),
+                           (top, width - top - a.shape[2])), mode="edge")
 
     ph_, pw_ = (gh - 1) * th + the_a, (gw - 1) * tw + twe_a
     args = [pad_to(a, halo, ph_, pw_)
@@ -193,8 +208,9 @@ def relax_phase_pallas(
                s0x_r, s0y_r, sxpx_r, sxpy_r, sxmx_r, sxmy_r,
                sypx_r, sypy_r, symx_r, symy_r,
                sems):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
         y0 = i * th
         x0 = j * tw
         copies = []
@@ -202,13 +218,13 @@ def relax_phase_pallas(
                          (by_h, by_r), (i0x_h, i0x_r), (i0y_h, i0y_r),
                          (bfx_h, bfx_r), (bfy_h, bfy_r), (m_h, m_r)):
             c = pltpu.make_async_copy(
-                src.at[pl.ds(y0, the_a), pl.ds(x0, twe_a)], dst,
+                src.at[b, pl.ds(y0, the_a), pl.ds(x0, twe_a)], dst,
                 sems.at[len(copies)])
             c.start()
             copies.append(c)
         for src, dst in ((w1x_h, w1x_r), (w1y_h, w1y_r)):
             c = pltpu.make_async_copy(
-                src.at[pl.ds(y0, thw_a), pl.ds(x0, tww_a)], dst,
+                src.at[b, pl.ds(y0, thw_a), pl.ds(x0, tww_a)], dst,
                 sems.at[len(copies)])
             c.start()
             copies.append(c)
@@ -366,16 +382,16 @@ def relax_phase_pallas(
             return 0
 
         jax.lax.fori_loop(0, iters, body, 0)
-        ofx_r[:, :] = fx_r[:, :][halo:halo + th, halo:halo + tw]
-        ofy_r[:, :] = fy_r[:, :][halo:halo + th, halo:halo + tw]
+        ofx_r[0, :, :] = fx_r[:, :][halo:halo + th, halo:halo + tw]
+        ofy_r[0, :, :] = fy_r[:, :][halo:halo + th, halo:halo + tw]
 
     out_fx, out_fy = pl.pallas_call(
         kernel,
-        grid=(gh, gw),
+        grid=(nb, gh, gw),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 11,
-        out_specs=[pl.BlockSpec((th, tw), lambda i, j: (i, j),
+        out_specs=[pl.BlockSpec((1, th, tw), lambda b, i, j: (b, i, j),
                                 memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32)] * 2,
         scratch_shapes=(
             [pltpu.VMEM((the_a, twe_a), jnp.float32)] * 9
             + [pltpu.VMEM((thw_a, tww_a), jnp.float32)] * 2
@@ -384,4 +400,7 @@ def relax_phase_pallas(
             + [pltpu.SemaphoreType.DMA((11,))]
         ),
     )(*args, *w1)
-    return out_fx[:h, :w], out_fy[:h, :w]
+    out_fx, out_fy = out_fx[:, :h, :w], out_fy[:, :h, :w]
+    if squeeze:
+        return out_fx[0], out_fy[0]
+    return out_fx, out_fy

@@ -58,3 +58,27 @@ def test_stitch_pair_auto_matches_full(rng):
 
     far = cv2.erode(away.astype(np.uint8), np.ones((9, 9), np.uint8)) > 0
     np.testing.assert_array_equal(auto[far], full[far])
+
+
+def test_planned_chain_windows_match_per_pair(rng):
+    """plan_chain_windows (sync-free, from input alphas) must produce
+    exactly the windows crop_window derives from each pair's map, and
+    the planned stitch_six chain must be bit-identical to the per-pair
+    auto chain."""
+    h, w = 64, 256
+    photos_np, top_np = pio.synthesize_fisheye_set(h, w, n=5, seed=3)
+    photos = [jnp.asarray(p) for p in photos_np]
+    top = jnp.asarray(top_np)
+    cfg = StitchConfig(flow_alg="pixflow_low")
+
+    planned = crop.plan_chain_windows(photos, top, cfg)
+    result = top
+    derived = []
+    for image_l in photos:
+        ctx = pipeline._prepare_jit(image_l, result, cfg)
+        derived.append(crop.crop_window(ctx.map, cfg))
+        result = pipeline.stitch_pair_auto(image_l, result, cfg)
+    assert planned == derived, (planned, derived)
+
+    chained = pipeline.stitch_six(photos, top, cfg, use_crop=True)
+    np.testing.assert_array_equal(np.asarray(chained), np.asarray(result))

@@ -136,3 +136,33 @@ def test_full_flow_close_to_sequential_oracle(rng):
     ref = opf.compute_optical_flow(i0, i1, opf.P(0), "left")
     epe = endpoint_error(ours, ref)
     assert epe < 1.0, epe
+
+
+def test_pair_solver_matches_two_single_calls(rng):
+    """compute_optical_flow_pair (direction-batched) must match two
+    independent compute_optical_flow calls for both presets.
+
+    The comparison is statistical, not bitwise: the batched and
+    unbatched programs are mathematically identical (verified bit-exact
+    on a single-threaded CPU backend), but XLA partitions them
+    differently under the test harness's 8-virtual-device CPU flag,
+    and 1-ulp float differences flip strictly-less propagation accepts
+    (CPU/PixFlow.hpp:342-362), which perturbs isolated pixels.  Gross
+    errors (a swapped direction, a wrong hint, broken batching) move
+    the whole field and fail these gates by orders of magnitude."""
+    h, w = 56, 72
+    i0, i1 = _shifted_pair(rng, h, w, 2)
+    i0[:, :6, 3] = 0   # some invalid regions so masks/diffusion engage
+    i1[:, -6:, 3] = 0
+    for alg in ("pixflow_low", "pixflow_search_20"):
+        p = flow_params_by_name(alg)
+        f01 = np.asarray(pixflow.compute_optical_flow(
+            jnp.asarray(i0), jnp.asarray(i1), p, "left"))
+        f10 = np.asarray(pixflow.compute_optical_flow(
+            jnp.asarray(i1), jnp.asarray(i0), p, "right"))
+        g01, g10 = pixflow.compute_optical_flow_pair(
+            jnp.asarray(i0), jnp.asarray(i1), p, "left", "right")
+        for got, ref in ((g01, f01), (g10, f10)):
+            d = np.abs(np.asarray(got) - ref)
+            assert d.mean() < 0.01, (alg, d.mean())
+            assert (d > 0.2).mean() < 0.01, (alg, (d > 0.2).mean())

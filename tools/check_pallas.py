@@ -67,6 +67,37 @@ def main():
           f"mean {err[inner].mean():.2e} "
           f"{'OK' if err[inner].max() < 1e-4 else 'FAIL'}")
 
+    # ---- batched (direction-batched) parity: B=2 planes, one launch ----
+    xb = rng.random((2, H, W)).astype(np.float32)
+    refb = np.stack([np.asarray(im.median5(jnp.asarray(xb[i])))
+                     for i in range(2)])
+    gotb = np.asarray(jax.jit(kernels.median5_pallas)(jnp.asarray(xb)))
+    err = np.abs(refb - gotb).max()
+    print(f"median5 batched: max err {err:.2e} {'OK' if err == 0 else 'FAIL'}")
+
+    def stack2(a):
+        return np.stack([a, a[::-1]])  # second direction = flipped data
+
+    fxb, fyb = jax.jit(lambda: kernels.relax_phase_pallas(
+        *(jnp.asarray(stack2(a)) for a in (
+            flow[..., 0], flow[..., 1], f_base[..., 0], f_base[..., 1],
+            w1x, w1y, i0x, i0y, bf[..., 0], bf[..., 1],
+            mask.astype(np.float32))), params, 3, 3))()
+    gotb = np.stack([np.asarray(fxb), np.asarray(fyb)], -1)
+    errb = np.abs(gotb[0] - ref)
+    # direction 1 reference: everything flipped vertically
+    w1g_f = jnp.stack([jnp.asarray(w1x[::-1]), jnp.asarray(w1y[::-1])], -1)
+    ref1 = np.asarray(jax.jit(
+        lambda: rf.relax_phase_fast(
+            jnp.asarray(flow[::-1]), jnp.asarray(f_base[::-1]), w1g_f,
+            jnp.asarray(i0x[::-1]), jnp.asarray(i0y[::-1]),
+            jnp.asarray(bf[::-1]),
+            jnp.asarray(mask[::-1]), params, iters=3, D=3))())
+    errb1 = np.abs(gotb[1] - ref1)
+    print(f"relax batched: max err inner b0 {errb[inner].max():.2e} "
+          f"b1 {errb1[inner].max():.2e} "
+          f"{'OK' if max(errb[inner].max(), errb1[inner].max()) < 1e-4 else 'FAIL'}")
+
     # ---- timing at 10 MP ----
     H2, W2 = 2048, 4992
     big = {k: rng.standard_normal((H2, W2)).astype(np.float32) * 0.2
@@ -80,6 +111,17 @@ def main():
                                    5, 3),
         *(big[k] for k in "abcdefghij"), iters=3)
     print(f"relax5_pallas 10MP:    {t*1e3:7.2f} ms "
+          f"({t/5*1e3:.2f} ms/iter)")
+
+    bigb = {k: rng.standard_normal((2, H2 // 2, W2)).astype(np.float32) * 0.2
+            for k in "abcdefghij"}
+    t = device_time(
+        lambda fx, fy, bx, by, w1x, w1y, i0x, i0y, bfx, bfy:
+        kernels.relax_phase_pallas(fx, fy, bx, by, w1x, w1y, i0x, i0y,
+                                   bfx, bfy, jnp.ones_like(fx), params,
+                                   5, 3),
+        *(bigb[k] for k in "abcdefghij"), iters=3)
+    print(f"relax5_pallas 10MP batched(2x5MP): {t*1e3:7.2f} ms "
           f"({t/5*1e3:.2f} ms/iter)")
 
 
