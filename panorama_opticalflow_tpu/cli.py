@@ -40,7 +40,7 @@ def _load(test_dir: str, name: str) -> np.ndarray:
 
 
 def cmd_stitch6(args) -> None:
-    from panorama_opticalflow_tpu.models import pipeline
+    from panorama_opticalflow_tpu.models import crop, pipeline
 
     _require(args, "test_dir")
     _require(args, "top_img")
@@ -48,22 +48,38 @@ def cmd_stitch6(args) -> None:
     cfg = StitchConfig(flow_alg=args.flow_alg)
     timer = StageTimer()
 
-    top = _load(args.test_dir, args.top_img)
-    images = [_load(args.test_dir, str(i)) for i in range(1, 6)]
-
     import jax.numpy as jnp
 
+    # --resume: the reference's de-facto checkpointing is the per-part
+    # ProcessResult{i}.png (R is just the previous output,
+    # CPU/main.cpp:64-65,97-100) -- pick up from the newest one.
+    start = 1
+    top = _load(args.test_dir, args.top_img)
     result = jnp.asarray(top)
-    for i, image_l in enumerate(images, start=1):
+    if getattr(args, "resume", False):
+        for i in range(4, 0, -1):
+            path = os.path.join(args.test_dir, f"ProcessResult{i}.png")
+            if os.path.exists(path):
+                result = jnp.asarray(nio.read_image_rgba_fast(path))
+                start = i + 1
+                log.info("resuming from %s (parts 1..%d done)", path, i)
+                break
+
+    images = [jnp.asarray(_load(args.test_dir, str(i)))
+              for i in range(start, 6)]
+    # plan every pair's overlap window up front (no per-pair host syncs)
+    windows = crop.plan_chain_windows(images, result, cfg)
+
+    for i, (image_l, window) in enumerate(zip(images, windows), start=start):
         with timer.stage(f"Part{i}"):
             if args.debug_dump:
                 result, inter = pipeline.stitch_pair_debug(
-                    jnp.asarray(image_l), result, cfg)
+                    image_l, result, cfg)
                 pipeline.dump_intermediates(inter, args.debug_dump,
                                             f"part{i}", args.flow_alg)
             else:
-                result = pipeline.stitch_pair_auto(jnp.asarray(image_l),
-                                                   result, cfg)
+                result = pipeline.stitch_pair_auto(image_l, result, cfg,
+                                                   window=window)
             result.block_until_ready()
         name = "FinalResult.png" if i == 5 else f"ProcessResult{i}.png"
         nio.write_image_fast(os.path.join(args.test_dir, name),
@@ -130,6 +146,8 @@ def main(argv=None) -> None:
     common(sp6)
     sp6.add_argument("--top_img", default="",
                      help="top image filename (relative to test_dir)")
+    sp6.add_argument("--resume", action="store_true",
+                     help="resume from the newest ProcessResult{i}.png")
     sp6.set_defaults(fn=cmd_stitch6)
 
     sp4 = sub.add_parser("stitch4", help="4-input single-pass stitch")

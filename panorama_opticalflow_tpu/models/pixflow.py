@@ -300,7 +300,8 @@ def patch_match_level(
                     i0x, i0y,
                     blurred_flow[..., 0], blurred_flow[..., 1],
                     update_mask.astype(jnp.float32),
-                    params, iters, params.fast_window)
+                    params, iters, params.fast_window,
+                    tile=params.pallas_tile)
                 flow = jnp.stack([fx, fy], axis=-1)
             else:
                 flow = relax_phase_fast(flow, f_base, w1g_warp, i0x, i0y,
@@ -374,6 +375,21 @@ def compute_optical_flow(
 # two compute_optical_flow calls.
 
 
+def _as_planes(f: jax.Array) -> jax.Array:
+    """(B, H, W, 2) flow -> (2B, H, W) channel-split planes.
+
+    A trailing dim of 2 makes the TPU lane dimension 2 wide and wastes
+    the VPU; the heavy per-level flow ops (15x15 blurs, medians,
+    resizes) run on planes instead."""
+    b, h, w, _ = f.shape
+    return jnp.moveaxis(f, 3, 1).reshape(b * 2, h, w)
+
+
+def _from_planes(p: jax.Array, b: int) -> jax.Array:
+    b2, h, w = p.shape
+    return jnp.moveaxis(p.reshape(b, 2, h, w), 1, 3)
+
+
 def patch_match_level_batched(
     imgs: jax.Array,
     alphas: jax.Array,
@@ -409,8 +425,10 @@ def patch_match_level_batched(
             flows.append(f)
         flow = jnp.stack(flows)
 
-    blurred_flow = jax.vmap(lambda f: im.gaussian_blur(
-        f, params.blurred_flow_kernel_width, params.blurred_flow_sigma))(flow)
+    nb = imgs.shape[0]
+    blurred_flow = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
+        f, params.blurred_flow_kernel_width, params.blurred_flow_sigma))(
+        _as_planes(flow)), nb)
     update_mask = ((a0 > params.update_alpha_threshold)
                    & (a1 > params.update_alpha_threshold))
 
@@ -430,10 +448,10 @@ def patch_match_level_batched(
 
         def median_flow(f):
             if pallas_ok:
-                planes = jnp.moveaxis(f, 3, 1).reshape(nb * 2, h, w)
-                med = kernels.median5_pallas(planes)
-                return jnp.moveaxis(med.reshape(nb, 2, h, w), 1, 3)
-            return jax.vmap(im.median5)(f)
+                med = kernels.median5_pallas(_as_planes(f))
+            else:
+                med = jax.vmap(im.median5)(_as_planes(f))
+            return _from_planes(med, nb)
 
         vwarp = jax.vmap(warp_by_flow_tiled)
         for _ in range(phases):
@@ -447,7 +465,8 @@ def patch_match_level_batched(
                     i0x, i0y,
                     blurred_flow[..., 0], blurred_flow[..., 1],
                     update_mask.astype(jnp.float32),
-                    params, iters, params.fast_window)
+                    params, iters, params.fast_window,
+                    tile=params.pallas_tile)
                 flow = jnp.stack([fx, fy], axis=-1)
             else:
                 flow = jax.vmap(
@@ -466,8 +485,12 @@ def patch_match_level_batched(
         for _ in range(phases):
             flow = jax.vmap(run_phase)(flow, i0x, i0y, i1g, blurred_flow,
                                        update_mask)
-    return jax.vmap(lambda f, x, y: low_alpha_flow_diffusion(f, x, y, params)
-                    )(flow, a0, a1)
+    # low-alpha diffusion (C8b), blur on channel-split planes
+    blurred = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
+        f, params.blurred_flow_kernel_width, params.blurred_flow_sigma))(
+        _as_planes(flow)), imgs.shape[0])
+    c = (1.0 - a0 * a1)[..., None]
+    return c * blurred + (1.0 - c) * flow
 
 
 def compute_optical_flow_pair(
@@ -492,7 +515,10 @@ def compute_optical_flow_pair(
     hints = (hint01, hint10)
 
     def vresize(f, s, m):
-        return jax.vmap(lambda x: im.resize(x, s, m))(f)
+        # resize on channel-split planes (trailing dim 2 wastes lanes)
+        return _from_planes(jax.vmap(lambda x: im.resize(x, s, m))(
+            _as_planes(f)), f.shape[0])
+
     flow = None
     for level in range(len(sizes) - 1, -1, -1):
         imgs = jnp.stack([p_g[0][level], p_g[1][level]])
@@ -504,7 +530,7 @@ def compute_optical_flow_pair(
 
     flow = vresize(flow, (h, w), "linear")
     flow = flow * (1.0 / params.downscale_factor)
-    flow = jax.vmap(lambda f: im.gaussian_blur(
+    flow = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
         f, params.final_flow_blur_kernel_width,
-        params.final_flow_blur_sigma))(flow)
+        params.final_flow_blur_sigma))(_as_planes(flow)), 2)
     return flow[0], flow[1]

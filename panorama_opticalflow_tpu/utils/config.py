@@ -75,6 +75,10 @@ class FlowParams:
     # overhead exceeds the arithmetic there.
     use_pallas: bool = True
     pallas_min_pixels: int = 128 * 512
+    # Relax kernel tile (rows, cols).  Bigger tiles amortise the halo
+    # overlap (the (64, 256) tile recomputes ~2x; (64, 512) ~1.7x) at
+    # the cost of VMEM scratch; bounded by the 16 MB scoped-vmem limit.
+    pallas_tile: tuple[int, int] = (64, 256)
 
     @property
     def search_distance(self) -> int:

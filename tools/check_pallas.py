@@ -124,6 +124,20 @@ def main():
     print(f"relax5_pallas 10MP batched(2x5MP): {t*1e3:7.2f} ms "
           f"({t/5*1e3:.2f} ms/iter)")
 
+    # ---- tile sweep (halo-overlap amortisation vs VMEM headroom) ----
+    for tile in ((64, 256), (64, 512), (128, 256), (128, 512), (256, 512)):
+        try:
+            t = device_time(
+                lambda fx, fy, bx, by, w1x, w1y, i0x, i0y, bfx, bfy:
+                kernels.relax_phase_pallas(fx, fy, bx, by, w1x, w1y,
+                                           i0x, i0y, bfx, bfy,
+                                           jnp.ones_like(fx), params,
+                                           5, 3, tile=tile),
+                *(big[k] for k in "abcdefghij"), iters=3)
+            print(f"relax5 tile {tile}: {t/5*1e3:7.2f} ms/iter")
+        except Exception as e:  # noqa: BLE001
+            print(f"relax5 tile {tile}: FAILED {str(e)[:120]}")
+
 
 if __name__ == "__main__":
     main()
