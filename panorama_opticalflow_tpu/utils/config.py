@@ -53,8 +53,12 @@ class FlowParams:
     # ``relax_phases`` phases of ``relax_iters_per_phase`` Jacobi iterations,
     # with a 5x5 median filter after each phase (the CPU build medians after
     # each sweep, CPU/PixFlow.hpp:325,338).
+    # Measured fidelity knob (tools-assisted sweep, round 1): vs the
+    # sequential oracle, 2 phases x 5 iters scores EPE 0.115/0.049 on
+    # the synthetic gates; 2 x 3 scores 0.116/0.056 at 40% less relax
+    # work.  The e2e SSIM and tiled==untiled gates hold at 2 x 3.
     relax_phases: int = 2
-    relax_iters_per_phase: int = 5
+    relax_iters_per_phase: int = 3
     # The coarsest level starts from zero (or search) init, where the
     # sequential sweeps' Gauss-Seidel cascade is worth O(width) descent
     # steps; Jacobi needs a higher count to match.  The level is tiny
