@@ -62,7 +62,10 @@ def warp_by_flow_tiled(img: jax.Array, flow: jax.Array, tile_h: int = 64,
     h, w, c = img.shape
     hp = -(-h // tile_h) * tile_h
     wp = -(-w // tile_w) * tile_w
-    img_p = jnp.pad(img, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    # channel-split planes: a trailing dim of c (= 2 for gradient pairs)
+    # would make the TPU lane dimension c wide and waste the VPU
+    img_p = jnp.pad(jnp.moveaxis(img, 2, 0),
+                    ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
     flow_p = jnp.pad(flow, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
     ty, tx = hp // tile_h, wp // tile_w
 
@@ -71,18 +74,18 @@ def warp_by_flow_tiled(img: jax.Array, flow: jax.Array, tile_h: int = 64,
     off = jnp.clip(jnp.rint(mean), -max_off, max_off).astype(jnp.int32)
 
     pad = max_off + margin + 1
-    big = jnp.pad(img_p, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    big = jnp.pad(img_p, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
 
     bh, bw = tile_h + 2 * margin + 1, tile_w + 2 * margin + 1
 
     def get_block(t_y, t_x, o):
         start_y = t_y * tile_h + o[1] + pad - margin
         start_x = t_x * tile_w + o[0] + pad - margin
-        return jax.lax.dynamic_slice(big, (start_y, start_x, 0), (bh, bw, c))
+        return jax.lax.dynamic_slice(big, (0, start_y, start_x), (c, bh, bw))
 
     tys = jnp.repeat(jnp.arange(ty), tx)
     txs = jnp.tile(jnp.arange(tx), ty)
-    blocks = jax.vmap(get_block)(tys, txs, off.reshape(-1, 2))  # (T,bh,bw,c)
+    blocks = jax.vmap(get_block)(tys, txs, off.reshape(-1, 2))  # (T,c,bh,bw)
 
     # residual per pixel (fx, fy) relative to tile offset
     res = (f_t.transpose(0, 2, 1, 3, 4).reshape(-1, tile_h, tile_w, 2)
@@ -95,24 +98,24 @@ def warp_by_flow_tiled(img: jax.Array, flow: jax.Array, tile_h: int = 64,
     # is smooth within a tile), then the y pass selects rows.
     def warp_one(block, rx, ry):
         rx_ext = jnp.pad(rx, ((margin, margin + 1), (0, 0)), mode="edge")
-        accx = jnp.zeros((bh, tile_w, c), block.dtype)
+        accx = jnp.zeros((c, bh, tile_w), block.dtype)
         for ox in range(-margin, margin + 1):
             wx = _hat(rx_ext - ox)                   # (bh, tile_w)
-            sl = jax.lax.slice(block, (0, ox + margin, 0),
-                               (bh, ox + margin + tile_w, c))
-            accx = accx + wx[..., None] * sl
-        accy = jnp.zeros((tile_h, tile_w, c), block.dtype)
+            sl = jax.lax.slice(block, (0, 0, ox + margin),
+                               (c, bh, ox + margin + tile_w))
+            accx = accx + wx[None] * sl
+        accy = jnp.zeros((c, tile_h, tile_w), block.dtype)
         for oy in range(-margin, margin + 1):
             wy = _hat(ry - oy)                       # (tile_h, tile_w)
-            sl = jax.lax.slice(accx, (oy + margin, 0, 0),
-                               (oy + margin + tile_h, tile_w, c))
-            accy = accy + wy[..., None] * sl
+            sl = jax.lax.slice(accx, (0, oy + margin, 0),
+                               (c, oy + margin + tile_h, tile_w))
+            accy = accy + wy[None] * sl
         return accy
 
-    out_blocks = jax.vmap(warp_one)(blocks, rx, ry)   # (T, th, tw, c)
-    out = out_blocks.reshape(ty, tx, tile_h, tile_w, c) \
-        .transpose(0, 2, 1, 3, 4).reshape(hp, wp, c)
-    return out[:h, :w]
+    out_blocks = jax.vmap(warp_one)(blocks, rx, ry)   # (T, c, th, tw)
+    out = out_blocks.reshape(ty, tx, c, tile_h, tile_w) \
+        .transpose(2, 0, 3, 1, 4).reshape(c, hp, wp)
+    return jnp.moveaxis(out, 0, 2)[:h, :w]
 
 
 def sample_maps(w1g_pad: jax.Array, dx: jax.Array, dy: jax.Array, D: int,
