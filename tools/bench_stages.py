@@ -95,6 +95,27 @@ def main():
                     i0, i0, a0, a0, fl0, iters=3)
     print(f"patch_match_level {lh}x{lw}: {t*1e3:8.2f} ms")
 
+    # the direction-batched level (what the pair solver actually runs)
+    imgs = jnp.zeros((2, lh, lw), jnp.float32)
+    alphas = jnp.ones((2, lh, lw), jnp.float32)
+    flb = jnp.zeros((2, lh, lw, 2), jnp.float32)
+    t = device_time(lambda a, b, f:
+                    pixflow.patch_match_level_batched(
+                        a, b, f, ("left", "right"), params),
+                    imgs, alphas, flb, iters=3)
+    print(f"patch_match_level_batched(2) {lh}x{lw}: {t*1e3:8.2f} ms")
+
+    # the finest level, batched (the bulk of the pyramid's work)
+    lh0, lw0 = sizes[0]
+    imgs0 = jnp.zeros((2, lh0, lw0), jnp.float32)
+    alphas0 = jnp.ones((2, lh0, lw0), jnp.float32)
+    flb0 = jnp.zeros((2, lh0, lw0, 2), jnp.float32)
+    t = device_time(lambda a, b, f:
+                    pixflow.patch_match_level_batched(
+                        a, b, f, ("left", "right"), params),
+                    imgs0, alphas0, flb0, iters=3)
+    print(f"patch_match_level_batched(2) {lh0}x{lw0}: {t*1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()
