@@ -296,6 +296,36 @@ def _tiled_gaussian_blur(x, ksize, sigma, axis):
                           ksize // 2, axis)
 
 
+def _build_tiled_pyramid(img, sizes, tiled_level, n, axis, dh):
+    """Finest->coarsest pyramid of a row-tiled plane; levels too small to
+    tile are replicated from an all_gather (the transition happens
+    once)."""
+    if not tiled_level[0]:
+        # even the base level is too small to tile: replicate throughout
+        img = jax.lax.all_gather(img, axis, axis=0, tiled=True)[:dh]
+        pyr = [img]
+        for k in range(1, len(sizes)):
+            pyr.append(im.resize(pyr[-1], sizes[k], "linear"))
+        return pyr
+    pyr = [img]
+    replicated = False
+    for k in range(1, len(sizes)):
+        prev = pyr[-1]
+        (ph, _), (nh, nw) = sizes[k - 1], sizes[k]
+        if not replicated and tiled_level[k]:
+            plan = make_row_resize_plan(ph, nh, n, "linear")
+            cur = _tiled_resize_cols(_tiled_resize_rows(prev, plan, axis),
+                                     nw, "linear")
+        else:
+            if not replicated:  # transition: gather previous level
+                prev = jax.lax.all_gather(prev, axis, axis=0,
+                                          tiled=True)[:ph]
+                replicated = True
+            cur = im.resize(prev, (nh, nw), "linear")
+        pyr.append(cur)
+    return pyr
+
+
 def tiled_compute_optical_flow(
     rgba0: jax.Array, rgba1: jax.Array, params: FlowParams, hint: str,
     axis: str, n: int, h_global: int, tc: TileConfig = TileConfig(),
@@ -339,33 +369,8 @@ def tiled_compute_optical_flow(
                    for k in range(len(sizes))]
 
     # ---- build pyramids (finest -> coarsest) ----
-    def build(img):
-        # when even the base level is too small to tile, the whole
-        # pyramid is replicated from the start
-        if not tiled_level[0]:
-            img = jax.lax.all_gather(img, axis, axis=0, tiled=True)[:dh]
-            pyr = [img]
-            for k in range(1, len(sizes)):
-                pyr.append(im.resize(pyr[-1], sizes[k], "linear"))
-            return pyr
-        pyr = [img]
-        replicated = False
-        for k in range(1, len(sizes)):
-            prev = pyr[-1]
-            (ph, _), (nh, nw) = sizes[k - 1], sizes[k]
-            if not replicated and tiled_level[k]:
-                plan = make_row_resize_plan(ph, nh, n, "linear")
-                cur = _tiled_resize_cols(_tiled_resize_rows(prev, plan, axis),
-                                         nw, "linear")
-            else:
-                if not replicated:  # transition: gather previous level
-                    prev = jax.lax.all_gather(prev, axis, axis=0,
-                                              tiled=True)[:ph]
-                    replicated = True
-                cur = im.resize(prev, (nh, nw), "linear")
-            pyr.append(cur)
-        return pyr
-
+    build = partial(_build_tiled_pyramid, sizes=sizes,
+                    tiled_level=tiled_level, n=n, axis=axis, dh=dh)
     p_i0, p_i1 = build(i0), build(i1)
     p_a0, p_a1 = build(a0), build(a1)
 
@@ -420,6 +425,104 @@ def tiled_compute_optical_flow(
     flow = _tiled_gaussian_blur(flow, params.final_flow_blur_kernel_width,
                                 params.final_flow_blur_sigma, axis)
     return flow
+
+
+def tiled_compute_optical_flow_pair(
+    rgba0: jax.Array, rgba1: jax.Array, params: FlowParams,
+    hints: tuple[str, str], axis: str, n: int, h_global: int,
+    tc: TileConfig = TileConfig(),
+) -> tuple[jax.Array, jax.Array]:
+    """Direction-batched row-tiled pixflow (the sharded twin of
+    models.pixflow.compute_optical_flow_pair): both directions of a pair
+    share one set of tiled pyramids and halo exchanges, and every level
+    runs as one batched program.  Flow rides through the tiled resize /
+    blur helpers in a (h, w, 4) channel layout
+    ``[f01x, f01y, f10x, f10y]``; returns (flow01, flow10) local tiles.
+    """
+    h_loc, w = rgba0.shape[:2]
+    assert h_loc * n >= h_global
+    dh = int(h_global * params.downscale_factor)
+    dw = int(w * params.downscale_factor)
+
+    plan_ds = make_row_resize_plan(h_global, dh, n, "cubic")
+
+    def prep(rgba):
+        r = _tiled_resize_cols(_tiled_resize_rows(rgba.astype(jnp.float32),
+                                                  plan_ds, axis), dw, "cubic")
+        r = jnp.clip(jnp.rint(r), 0, 255).astype(jnp.uint8)
+        i = im.rgba_to_gray_u8(r).astype(jnp.float32) / 255.0
+        a = r[..., 3].astype(jnp.float32) / 255.0
+        i = _tiled_gaussian_blur(i, params.pre_blur_kernel_width,
+                                 params.pre_blur_sigma, axis)
+        return i, a
+
+    i0, a0 = prep(rgba0)
+    i1, a1 = prep(rgba1)
+
+    sizes = pixflow.pyramid_sizes(dh, dw, params)
+    tiled_level = [sizes[k][0] // n >= max(tc.min_tiled_rows,
+                                           tc.level_halo + 1)
+                   for k in range(len(sizes))]
+    build = partial(_build_tiled_pyramid, sizes=sizes,
+                    tiled_level=tiled_level, n=n, axis=axis, dh=dh)
+    p_i0, p_i1 = build(i0), build(i1)
+    p_a0, p_a1 = build(a0), build(a1)
+
+    def to_b(fc):   # (h, w, 4) channels -> (2, h, w, 2) batch
+        return jnp.stack([fc[..., :2], fc[..., 2:]], axis=0)
+
+    def to_c(fb):   # inverse
+        return jnp.concatenate([fb[0], fb[1]], axis=-1)
+
+    flow_c = None
+    for level in range(len(sizes) - 1, -1, -1):
+        lh, lw = sizes[level]
+        if not tiled_level[level]:
+            imgs = jnp.stack([p_i0[level], p_i1[level]])
+            alphas = jnp.stack([p_a0[level], p_a1[level]])
+            fb = None if flow_c is None else to_b(flow_c)
+            flow_c = to_c(pixflow.patch_match_level_batched(
+                imgs, alphas, fb, hints, params))
+            if level > 0:
+                nh, nw = sizes[level - 1]
+                up = im.resize(flow_c, (nh, nw), "cubic") \
+                    * (1.0 / params.pyr_scale_factor)
+                if tiled_level[level - 1]:
+                    # replicated -> tiled: slice my rows
+                    hb = _cdiv(nh, n)
+                    up = jnp.pad(up, ((0, n * hb - nh), (0, 0), (0, 0)))
+                    d = jax.lax.axis_index(axis)
+                    up = jax.lax.dynamic_slice(up, (d * hb, 0, 0),
+                                               (hb, nw, 4))
+                flow_c = up
+        else:
+            halo = tc.level_halo
+            ex = partial(_exchange_rows, halo=halo, axis=axis)
+            imgs = jnp.stack([ex(p_i0[level]), ex(p_i1[level])])
+            alphas = jnp.stack([ex(p_a0[level]), ex(p_a1[level])])
+            fb = None if flow_c is None else to_b(ex(flow_c))
+            fb = pixflow.patch_match_level_batched(imgs, alphas, fb, hints,
+                                                   params)
+            flow_c = _crop_rows(to_c(fb), halo)
+            if level > 0:
+                nh, nw = sizes[level - 1]
+                plan = make_row_resize_plan(lh, nh, n, "cubic")
+                flow_c = _tiled_resize_cols(
+                    _tiled_resize_rows(flow_c, plan, axis), nw, "cubic") \
+                    * (1.0 / params.pyr_scale_factor)
+
+    if not tiled_level[0]:
+        hb = _cdiv(dh, n)
+        flow_c = jnp.pad(flow_c, ((0, n * hb - dh), (0, 0), (0, 0)))
+        d = jax.lax.axis_index(axis)
+        flow_c = jax.lax.dynamic_slice(flow_c, (d * hb, 0, 0), (hb, dw, 4))
+    plan_up = make_row_resize_plan(dh, h_global, n, "linear")
+    flow_c = _tiled_resize_cols(_tiled_resize_rows(flow_c, plan_up, axis),
+                                w, "linear")
+    flow_c = flow_c * (1.0 / params.downscale_factor)
+    flow_c = _tiled_gaussian_blur(flow_c, params.final_flow_blur_kernel_width,
+                                  params.final_flow_blur_sigma, axis)
+    return flow_c[..., :2], flow_c[..., 2:]
 
 
 # ---------------------------------------------------------------------------
@@ -599,10 +702,8 @@ def _tiled_stitch_pair_body(image_l, image_r, cfg: StitchConfig, axis: str,
     ext_l = im.wrap_extend_x(ol, length)
     ext_r = im.wrap_extend_x(orr, length)
     params = cfg.flow_params
-    flr = tiled_compute_optical_flow(ext_l, ext_r, params, "left",
-                                     axis, n, h_global, tc)
-    frl = tiled_compute_optical_flow(ext_r, ext_l, params, "right",
-                                     axis, n, h_global, tc)
+    flr, frl = tiled_compute_optical_flow_pair(
+        ext_l, ext_r, params, ("left", "right"), axis, n, h_global, tc)
     flr = im.crop_x(flr, length)
     frl = im.crop_x(frl, length)
 
