@@ -50,3 +50,34 @@ def test_stage_timer(caplog):
 def test_init_runtime_idempotent():
     runtime.init_runtime(verbose=False, compilation_cache=False)
     runtime.init_runtime(verbose=False, compilation_cache=False)
+
+
+def test_flow_visualizers_behaviour():
+    """Behavioural checks of the three visualisers
+    (CPU/OpticalFlow.cpp:147-204 semantics)."""
+    import numpy as np
+    from panorama_opticalflow_tpu.utils import visualize as vz
+
+    h, w = 48, 72
+    flow = np.zeros((h, w, 2), np.float32)
+    flow[:, : w // 2, 0] = -5.0   # left half moves left, right half still
+
+    grey = vz.flow_as_grey_disparity(flow)
+    assert grey.shape == (h, w) and grey.dtype == np.uint8
+    # min displacement (-5) maps to 0, max (0) maps to 255
+    assert grey[0, 0] == 0 and grey[0, -1] == 255
+
+    wheel = vz.flow_color_wheel(flow)
+    assert wheel.shape == (h, w, 3) and wheel.dtype == np.uint8
+    # zero-flow pixels get the dim base value (V = 0.25*255 = 63)
+    assert wheel[0, -1].max() == 63
+    # moving pixels are brighter than still ones
+    assert wheel[0, 0].max() > wheel[0, -1].max()
+
+    img = np.full((h, w, 4), 200, np.uint8)
+    field = vz.flow_as_vector_field(flow, img)
+    assert field.shape == (h, w, 3)
+    assert (field < 200).any()  # arrows drawn
+
+    stacked = vz.stack_horizontal([wheel, wheel])
+    assert stacked.shape == (h, 2 * w, 3)
