@@ -74,19 +74,7 @@ def crop_window(canvas_map_np: np.ndarray | jax.Array, cfg: StitchConfig,
     ``roll`` makes columns [0, width) cover overlap+margin+extension.
     width == W means no crop."""
     cols = np.asarray(overlap_columns(jnp.asarray(canvas_map_np)))
-    w = cols.shape[0]
-    ext = w // cfg.flow_extend_div
-    iv = circular_interval(cols, margin + ext)
-    if iv is None:
-        return 0, choose_bucket(1, w)
-    start, length = iv
-    width = choose_bucket(length, w)
-    if width >= w:
-        return 0, w
-    # centre the covered span in the bucket
-    slack = (width - length) // 2
-    start = (start - slack) % w
-    return start, width
+    return _window_from_cols(cols, cfg, margin)
 
 
 @jax.jit
@@ -113,27 +101,62 @@ def _chain_overlap_columns(alphas_l: jax.Array, alpha_top: jax.Array):
 
 def plan_chain_windows(photos: list[jax.Array], top: jax.Array,
                        cfg: StitchConfig, margin: int = 64
-                       ) -> list[tuple[int, int]]:
-    """Host-side: (roll, width) crop windows for all pairs of the
-    6-input iterative chain, from one batched column reduction."""
+                       ) -> list[tuple[int, int, bool]]:
+    """Host-side: (roll, width, gather_safe) crop windows for all pairs
+    of the 6-input iterative chain, from one batched column reduction."""
     alphas = jnp.stack([p[..., 3] > 0 for p in photos])
     cols = np.asarray(_chain_overlap_columns(alphas, top[..., 3] > 0))
-    w = cols.shape[1]
-    ext = w // cfg.flow_extend_div
     windows = []
     for i in range(cols.shape[0]):
-        iv = circular_interval(cols[i], margin + ext)
-        if iv is None:
-            windows.append((0, choose_bucket(1, w)))
-            continue
-        start, length = iv
-        width = choose_bucket(length, w)
-        if width >= w:
-            windows.append((0, w))
-            continue
-        slack = (width - length) // 2
-        windows.append(((start - slack) % w, width))
+        roll, width = _window_from_cols(cols[i], cfg, margin)
+        safe = gather_window_safe(cols[i], roll, width,
+                                  cfg.gather_search_radius)
+        windows.append((roll, width, safe))
     return windows
+
+
+def gather_window_safe(cols: np.ndarray, roll: int, width: int,
+                       radius: int) -> bool:
+    """True when gather_composite may run its hole search on the
+    (roll, width) window bit-identically: every overlap column must sit
+    >= radius inside the window (rays are bounded by radius) and
+    >= radius away from the true canvas x-edges (full-canvas rays stop
+    there; windowed rays would wrap across the rolled seam)."""
+    w = cols.shape[0]
+    if width >= w:
+        return False  # whole canvas: window buys nothing
+    idx = np.flatnonzero(cols)
+    if idx.size == 0:
+        return True   # no overlap -> no code==150 pixels -> hole unused
+    if cols[:radius].any() or cols[w - radius:].any():
+        return False
+    p = (idx - roll) % w
+    return bool((p >= radius).all() and (p <= width - 1 - radius).all())
+
+
+def pair_window(canvas_map, cfg: StitchConfig, margin: int = 64
+                ) -> tuple[int, int, bool]:
+    """Host-side: (roll, width, gather_safe) for one pair (one tiny
+    device fetch)."""
+    cols = np.asarray(overlap_columns(jnp.asarray(canvas_map)))
+    roll, width = _window_from_cols(cols, cfg, margin)
+    safe = gather_window_safe(cols, roll, width, cfg.gather_search_radius)
+    return roll, width, safe
+
+
+def _window_from_cols(cols: np.ndarray, cfg: StitchConfig,
+                      margin: int) -> tuple[int, int]:
+    w = cols.shape[0]
+    ext = w // cfg.flow_extend_div
+    iv = circular_interval(cols, margin + ext)
+    if iv is None:
+        return 0, choose_bucket(1, w)
+    start, length = iv
+    width = choose_bucket(length, w)
+    if width >= w:
+        return 0, w
+    slack = (width - length) // 2
+    return (start - slack) % w, width
 
 
 def cropped_flows_window(image_l: jax.Array, image_r: jax.Array, roll,

@@ -55,12 +55,14 @@ def _finish_jit(ctx, image_l, image_r, flow_lr, flow_rl, cfg: StitchConfig):
     return stitcher.gather_composite(ctx.map, image_l, image_r, merged, cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg", "width"))
+@partial(jax.jit, static_argnames=("cfg", "width", "gather_windowed"))
 def _finish_windowed_jit(ctx, image_l, image_r, flow_lr_w, flow_rl_w,
-                         roll, width: int, cfg: StitchConfig):
+                         roll, width: int, cfg: StitchConfig,
+                         gather_windowed: bool = False):
     """Combine on the overlap window only (flow is zero elsewhere, so the
     merged view is transparent there -- exact), then composite on the
-    full canvas."""
+    full canvas.  With ``gather_windowed`` (caller checked
+    crop.gather_window_safe) the hole search also runs on the window."""
     h, w = image_l.shape[:2]
     if width >= w:
         return _finish_jit(ctx, image_l, image_r, flow_lr_w, flow_rl_w, cfg)
@@ -74,27 +76,36 @@ def _finish_windowed_jit(ctx, image_l, image_r, flow_lr_w, flow_rl_w,
     merged = jnp.zeros((h, w, 4), jnp.uint8)
     merged = jax.lax.dynamic_update_slice(merged, merged_w, (0, 0, 0))
     merged = jnp.roll(merged, roll, axis=1)
-    return stitcher.gather_composite(ctx.map, image_l, image_r, merged, cfg)
+    gw = (roll, width) if gather_windowed else None
+    return stitcher.gather_composite(ctx.map, image_l, image_r, merged, cfg,
+                                     window=gw)
 
 
 def stitch_pair_auto(
     image_l: jax.Array, image_r: jax.Array, cfg: StitchConfig,
-    window: tuple[int, int] | None = None,
+    window: tuple | None = None,
 ) -> jax.Array:
     """stitch_pair with overlap-cropped flow + combine (models/crop.py):
-    the dense solver and the novel-view combiner run only on a bucketed
-    column window around the overlap band -- identical composite, a
-    fraction of the work.  ``window`` is a precomputed (roll, width)
-    (e.g. from crop.plan_chain_windows); when None it is derived from
-    the pair's map with one tiny host-device sync."""
+    the dense solver, the novel-view combiner, and (when provably exact)
+    the gather hole search run only on a bucketed column window around
+    the overlap band -- identical composite, a fraction of the work.
+    ``window`` is a precomputed (roll, width, gather_safe) (e.g. from
+    crop.plan_chain_windows); when None it is derived from the pair's
+    map with one tiny host-device sync."""
     from panorama_opticalflow_tpu.models import crop
 
-    ctx = _prepare_jit(image_l, image_r, cfg)
-    roll, width = crop.crop_window(ctx.map, cfg) if window is None else window
+    if window is None:
+        ctx = _prepare_jit(image_l, image_r, cfg)
+        roll, width, gsafe = crop.pair_window(ctx.map, cfg)
+    else:
+        ctx = _prepare_jit(image_l, image_r, cfg)
+        roll, width, gsafe = (window if len(window) == 3
+                              else (*window, False))
     flow_lr_w, flow_rl_w = _flows_window_jit(
         ctx.overlapped_l, ctx.overlapped_r, jnp.asarray(roll), width, cfg)
     return _finish_windowed_jit(ctx, image_l, image_r, flow_lr_w, flow_rl_w,
-                                jnp.asarray(roll), width, cfg)
+                                jnp.asarray(roll), width, cfg,
+                                gather_windowed=gsafe)
 
 
 def stitch_pair_debug(

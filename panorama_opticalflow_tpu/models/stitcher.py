@@ -137,6 +137,7 @@ def gather_composite(
     image_r: jax.Array,
     merged_middle: jax.Array,
     cfg: StitchConfig,
+    window: tuple | None = None,
 ) -> jax.Array:
     """Final composite (CPU/StitchTool.cpp:52-96).
 
@@ -148,20 +149,45 @@ def gather_composite(
 
     The reference's per-pixel ray loop reads out of bounds (UB); here rays
     simply stop at the canvas edge.
+
+    ``window`` is an optional (roll, width) column window.  Holes only
+    occur at code==150 (overlap) and the search rays are bounded by
+    ``gather_search_radius``, so when the caller guarantees every overlap
+    column sits >= radius inside the window and >= radius away from the
+    true canvas x-edges (crop.gather_window_safe), running the distance
+    scans on the window slice is bit-identical at a fraction of the
+    cost; the elementwise composite stays full-canvas.
     """
+    h, w = ctx_map.shape
     merged_a = im.threshold_binary(merged_middle[..., 3], 0, 75)
     code = ctx_map + merged_a  # uint8, max 225
 
     r = cfg.gather_search_radius
-    d_l = eight_ray_min_distance(code == 100, 1, float(r), diag_scale=1.0)
-    d_r = eight_ray_min_distance(code == 50, 1, float(r), diag_scale=1.0)
 
-    take_l = d_l <= d_r  # first-found priority: L checked before R each i
-    found = jnp.isfinite(jnp.minimum(d_l, d_r))
-    hole_black = jnp.array([0, 0, 0, 255], jnp.uint8)
-    hole = jnp.where(found[..., None],
-                     jnp.where(take_l[..., None], image_l, image_r),
-                     hole_black)
+    def hole_from(codes, img_l, img_r):
+        d_l = eight_ray_min_distance(codes == 100, 1, float(r),
+                                     diag_scale=1.0)
+        d_r = eight_ray_min_distance(codes == 50, 1, float(r),
+                                     diag_scale=1.0)
+        take_l = d_l <= d_r  # first-found priority: L checked first each i
+        found = jnp.isfinite(jnp.minimum(d_l, d_r))
+        hole_black = jnp.array([0, 0, 0, 255], jnp.uint8)
+        return jnp.where(found[..., None],
+                         jnp.where(take_l[..., None], img_l, img_r),
+                         hole_black)
+
+    if window is None:
+        hole = hole_from(code, image_l, image_r)
+    else:
+        roll, width = window
+
+        def win(a):
+            return jnp.roll(a, -roll, axis=1)[:, :width]
+
+        hole_w = hole_from(win(code), win(image_l), win(image_r))
+        hole = jnp.zeros((h, w, 4), jnp.uint8)
+        hole = jax.lax.dynamic_update_slice(hole, hole_w, (0, 0, 0))
+        hole = jnp.roll(hole, roll, axis=1)
 
     zero = jnp.zeros((4,), jnp.uint8)
     out = jnp.where((code == 100)[..., None], image_l, zero)

@@ -76,9 +76,60 @@ def test_planned_chain_windows_match_per_pair(rng):
     derived = []
     for image_l in photos:
         ctx = pipeline._prepare_jit(image_l, result, cfg)
-        derived.append(crop.crop_window(ctx.map, cfg))
+        derived.append(crop.pair_window(ctx.map, cfg))
         result = pipeline.stitch_pair_auto(image_l, result, cfg)
     assert planned == derived, (planned, derived)
 
     chained = pipeline.stitch_six(photos, top, cfg, use_crop=True)
     np.testing.assert_array_equal(np.asarray(chained), np.asarray(result))
+
+
+def test_windowed_gather_bit_identical(rng):
+    """gather_composite with a safe (roll, width) window must be
+    bit-identical to the full-canvas hole search."""
+    h, w = 48, 1024
+    cfg = StitchConfig()
+    # canvas: L footprint cols [200, 560), R cols [480, 840) -> overlap
+    # [480, 560), with merge holes inside the overlap
+    il = np.zeros((h, w, 4), np.uint8)
+    ir = np.zeros((h, w, 4), np.uint8)
+    il[:, 200:560] = rng.integers(1, 255, (h, 360, 4), np.uint8)
+    ir[:, 480:840] = rng.integers(1, 255, (h, 360, 4), np.uint8)
+    il[:, 200:560, 3] = 255
+    ir[:, 480:840, 3] = 255
+    cmap = np.asarray(stitcher.match_images(jnp.asarray(il), jnp.asarray(ir)))
+    merged = np.zeros((h, w, 4), np.uint8)
+    merged[:, 480:560] = 128
+    merged[::3, 500:520, 3] = 0   # holes -> code 150 pixels
+    merged[:, :480] = 0
+    merged[:, 560:] = 0
+
+    full = np.asarray(stitcher.gather_composite(
+        jnp.asarray(cmap), jnp.asarray(il), jnp.asarray(ir),
+        jnp.asarray(merged), cfg))
+
+    cols = np.asarray(crop.overlap_columns(jnp.asarray(cmap)))
+    roll, width = crop._window_from_cols(cols, cfg, margin=64)
+    assert crop.gather_window_safe(cols, roll, width,
+                                   cfg.gather_search_radius)
+    windowed = np.asarray(stitcher.gather_composite(
+        jnp.asarray(cmap), jnp.asarray(il), jnp.asarray(ir),
+        jnp.asarray(merged), cfg, window=(jnp.asarray(roll), width)))
+    np.testing.assert_array_equal(windowed, full)
+
+
+def test_gather_window_unsafe_near_seam():
+    """Overlap within radius of the canvas x-edge must refuse the
+    window (full-canvas rays stop at the edge; windowed rays would
+    wrap)."""
+    cfg = StitchConfig()
+    w = 1024
+    cols = np.zeros(w, bool)
+    cols[10:60] = True   # overlap touching the left edge region
+    assert not crop.gather_window_safe(cols, 900, 512,
+                                       cfg.gather_search_radius)
+    cols = np.zeros(w, bool)
+    cols[400:460] = True
+    # window too tight: overlap closer than radius to the window edge
+    assert not crop.gather_window_safe(cols, 390, 128,
+                                       cfg.gather_search_radius)
