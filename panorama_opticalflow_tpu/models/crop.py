@@ -74,7 +74,8 @@ def crop_window(canvas_map_np: np.ndarray | jax.Array, cfg: StitchConfig,
     ``roll`` makes columns [0, width) cover overlap+margin+extension.
     width == W means no crop."""
     cols = np.asarray(overlap_columns(jnp.asarray(canvas_map_np)))
-    return _window_from_cols(cols, cfg, margin)
+    h, w = canvas_map_np.shape[:2]
+    return _window_from_cols(cols, cfg, margin, blend_step(h, w, cfg))
 
 
 @jax.jit
@@ -106,9 +107,11 @@ def plan_chain_windows(photos: list[jax.Array], top: jax.Array,
     of the 6-input iterative chain, from one batched column reduction."""
     alphas = jnp.stack([p[..., 3] > 0 for p in photos])
     cols = np.asarray(_chain_overlap_columns(alphas, top[..., 3] > 0))
+    h, w = top.shape[:2]
+    step = blend_step(h, w, cfg)
     windows = []
     for i in range(cols.shape[0]):
-        roll, width = _window_from_cols(cols[i], cfg, margin)
+        roll, width = _window_from_cols(cols[i], cfg, margin, step)
         safe = gather_window_safe(cols[i], roll, width,
                                   cfg.gather_search_radius)
         windows.append((roll, width, safe))
@@ -139,24 +142,36 @@ def pair_window(canvas_map, cfg: StitchConfig, margin: int = 64
     """Host-side: (roll, width, gather_safe) for one pair (one tiny
     device fetch)."""
     cols = np.asarray(overlap_columns(jnp.asarray(canvas_map)))
-    roll, width = _window_from_cols(cols, cfg, margin)
+    h, w = canvas_map.shape[:2]
+    roll, width = _window_from_cols(cols, cfg, margin, blend_step(h, w, cfg))
     safe = gather_window_safe(cols, roll, width, cfg.gather_search_radius)
     return roll, width, safe
 
 
+def blend_step(h: int, w: int, cfg: StitchConfig) -> int:
+    """Selective-smoothing block stride (CPU/StitchTool.cpp:121)."""
+    return max(1, min(h, w) // cfg.blend_step_div)
+
+
 def _window_from_cols(cols: np.ndarray, cfg: StitchConfig,
-                      margin: int) -> tuple[int, int]:
+                      margin: int, step: int = 1) -> tuple[int, int]:
+    """(roll, width) covering overlap+margin+extension; ``roll`` is
+    aligned down to a multiple of ``step`` (the blend block stride) so
+    the windowed blend field's selective-smoothing grid matches the
+    full-canvas block grid; the bucket gets step-1 extra slack so
+    alignment never clips the required coverage."""
     w = cols.shape[0]
     ext = w // cfg.flow_extend_div
     iv = circular_interval(cols, margin + ext)
     if iv is None:
         return 0, choose_bucket(1, w)
     start, length = iv
-    width = choose_bucket(length, w)
+    width = choose_bucket(length + step - 1, w)
     if width >= w:
         return 0, w
-    slack = (width - length) // 2
-    return (start - slack) % w, width
+    slack = (width - length - step + 1) // 2
+    s = (start - slack) % w
+    return s - s % step, width
 
 
 def cropped_flows_window(image_l: jax.Array, image_r: jax.Array, roll,

@@ -41,6 +41,22 @@ def _prepare_jit(image_l, image_r, cfg: StitchConfig):
     return stitcher.prepare(image_l, image_r, cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _geometry_jit(image_l, image_r, cfg: StitchConfig):
+    """Map + overlap extraction only (no blend) -- the cheap part of
+    prepare, enough to derive the crop window."""
+    canvas_map = stitcher.match_images(image_l, image_r)
+    return (canvas_map,
+            stitcher.extract_overlap(image_l, canvas_map),
+            stitcher.extract_overlap(image_r, canvas_map))
+
+
+@partial(jax.jit, static_argnames=("cfg", "width"))
+def _blend_window_jit(canvas_map, roll, width: int, cfg: StitchConfig):
+    blend, _ = stitcher.generate_blend(canvas_map, cfg, window=(roll, width))
+    return blend
+
+
 @partial(jax.jit, static_argnames=("cfg", "width"))
 def _flows_window_jit(ol, orr, roll, width: int, cfg: StitchConfig):
     from panorama_opticalflow_tpu.models.crop import cropped_flows_window
@@ -56,56 +72,64 @@ def _finish_jit(ctx, image_l, image_r, flow_lr, flow_rl, cfg: StitchConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "gather_windowed"))
-def _finish_windowed_jit(ctx, image_l, image_r, flow_lr_w, flow_rl_w,
+def _finish_windowed_jit(canvas_map, overlapped_l, overlapped_r, blend_w,
+                         image_l, image_r, flow_lr_w, flow_rl_w,
                          roll, width: int, cfg: StitchConfig,
                          gather_windowed: bool = False):
     """Combine on the overlap window only (flow is zero elsewhere, so the
     merged view is transparent there -- exact), then composite on the
-    full canvas.  With ``gather_windowed`` (caller checked
-    crop.gather_window_safe) the hole search also runs on the window."""
+    full canvas.  ``blend_w`` is the window-sized blend field (windowed
+    blend is an SSIM-gated approximation, see stitcher.generate_blend).
+    With ``gather_windowed`` (caller checked crop.gather_window_safe) the
+    hole search also runs on the window."""
     h, w = image_l.shape[:2]
     if width >= w:
-        return _finish_jit(ctx, image_l, image_r, flow_lr_w, flow_rl_w, cfg)
+        merged = novel_view.combine_novel_views(
+            overlapped_l, overlapped_r, flow_lr_w, flow_rl_w, blend_w)
+        return stitcher.gather_composite(canvas_map, image_l, image_r,
+                                         merged, cfg)
 
     def win(a):
         return jnp.roll(a, -roll, axis=1)[:, :width]
 
     merged_w = novel_view.combine_novel_views(
-        win(ctx.overlapped_l), win(ctx.overlapped_r),
-        flow_lr_w, flow_rl_w, win(ctx.blend))
+        win(overlapped_l), win(overlapped_r),
+        flow_lr_w, flow_rl_w, blend_w)
     merged = jnp.zeros((h, w, 4), jnp.uint8)
     merged = jax.lax.dynamic_update_slice(merged, merged_w, (0, 0, 0))
     merged = jnp.roll(merged, roll, axis=1)
     gw = (roll, width) if gather_windowed else None
-    return stitcher.gather_composite(ctx.map, image_l, image_r, merged, cfg,
-                                     window=gw)
+    return stitcher.gather_composite(canvas_map, image_l, image_r, merged,
+                                     cfg, window=gw)
 
 
 def stitch_pair_auto(
     image_l: jax.Array, image_r: jax.Array, cfg: StitchConfig,
     window: tuple | None = None,
 ) -> jax.Array:
-    """stitch_pair with overlap-cropped flow + combine (models/crop.py):
-    the dense solver, the novel-view combiner, and (when provably exact)
-    the gather hole search run only on a bucketed column window around
-    the overlap band -- identical composite, a fraction of the work.
-    ``window`` is a precomputed (roll, width, gather_safe) (e.g. from
-    crop.plan_chain_windows); when None it is derived from the pair's
-    map with one tiny host-device sync."""
+    """stitch_pair with overlap-cropped work (models/crop.py): the dense
+    solver, the blend field, the novel-view combiner, and (when provably
+    exact) the gather hole search all run only on a bucketed column
+    window around the overlap band.  The composite is bit-identical away
+    from the overlap; inside it the windowed flow/blend are SSIM-gated
+    approximations (tests/test_crop.py).  ``window`` is a precomputed
+    (roll, width, gather_safe) (e.g. from crop.plan_chain_windows); when
+    None it is derived from the pair's map with one tiny host-device
+    sync."""
     from panorama_opticalflow_tpu.models import crop
 
+    canvas_map, ol, orr = _geometry_jit(image_l, image_r, cfg)
     if window is None:
-        ctx = _prepare_jit(image_l, image_r, cfg)
-        roll, width, gsafe = crop.pair_window(ctx.map, cfg)
+        roll, width, gsafe = crop.pair_window(canvas_map, cfg)
     else:
-        ctx = _prepare_jit(image_l, image_r, cfg)
         roll, width, gsafe = (window if len(window) == 3
                               else (*window, False))
-    flow_lr_w, flow_rl_w = _flows_window_jit(
-        ctx.overlapped_l, ctx.overlapped_r, jnp.asarray(roll), width, cfg)
-    return _finish_windowed_jit(ctx, image_l, image_r, flow_lr_w, flow_rl_w,
-                                jnp.asarray(roll), width, cfg,
-                                gather_windowed=gsafe)
+    roll_j = jnp.asarray(roll)
+    blend_w = _blend_window_jit(canvas_map, roll_j, width, cfg)
+    flow_lr_w, flow_rl_w = _flows_window_jit(ol, orr, roll_j, width, cfg)
+    return _finish_windowed_jit(canvas_map, ol, orr, blend_w,
+                                image_l, image_r, flow_lr_w, flow_rl_w,
+                                roll_j, width, cfg, gather_windowed=gsafe)
 
 
 def stitch_pair_debug(

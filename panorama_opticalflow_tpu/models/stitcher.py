@@ -49,7 +49,8 @@ def extract_overlap(image: jax.Array, canvas_map: jax.Array) -> jax.Array:
 
 
 def generate_blend(
-    canvas_map: jax.Array, cfg: StitchConfig
+    canvas_map: jax.Array, cfg: StitchConfig,
+    window: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Seam-blend weight field over the overlap (CPU/StitchTool.cpp:98-191).
 
@@ -61,7 +62,27 @@ def generate_blend(
     variant's one-thread-per-pixel walk (GPU/StitchTool_GPU.cu:10-66)
     becomes eight log-depth scans.
 
-    Returns (blend, merged_dis), both (H, W) float32.
+    Returns (blend, merged_dis), both (H, W) float32 -- or (H, width)
+    when ``window`` is given.
+
+    ``window`` is an optional (roll, width) column window around the
+    overlap band: the field is computed on the rolled slice only, with
+    all size-derived constants (ray stride, ray bound, blur kernels,
+    none_val) still taken from the full canvas.  This is an
+    *approximation*, gated by the pipeline SSIM tests: rays stop at the
+    window edges (instead of cols/2 away or across the full
+    wrap-extension), and the window edges see the blurs' replicate
+    border.  Both effects live >= the planner's margin away from the
+    overlap band that the combiner actually consumes.  The caller should
+    align ``roll`` to the selective-smoothing block stride
+    (crop aligns it) so the step x step block grid matches the
+    full-canvas one; on a window that crosses the x=0 seam the grid
+    phase beyond the seam is off by (W mod step), and the window's
+    blurs run *continuously across the seam* while the full-canvas op
+    (like the reference, which blurs the already-cropped field,
+    CPU/StitchTool.cpp:127-143) sees an x=0 blur border -- both within
+    the gate (and the seam-continuous field is the better panorama
+    semantics).
 
     Known deviation from the reference: its selective smoothing box-blurs
     each step x step block *in place* in raster order so later blocks read
@@ -70,25 +91,32 @@ def generate_blend(
     is then smoothed again by the global rows/400 blur.
     """
     h, w = canvas_map.shape
-    length = w // cfg.blend_extend_div
-    ext = im.wrap_extend_x(canvas_map, length)
-
     step = max(1, min(h, w) // cfg.blend_step_div)
     max_i = w / 2.0  # ray index bound i < cols/2 (CPU/StitchTool.cpp:158)
-
-    d_l = eight_ray_min_distance(ext == 100, step, max_i)
-    d_r = eight_ray_min_distance(ext == 50, step, max_i)
-    d_l = im.crop_x(d_l, length)
-    d_r = im.crop_x(d_r, length)
-
     none_val = jnp.float32(10.0 * w)  # reference init (CPU/StitchTool.cpp:155)
+
+    if window is not None and window[1] < w:
+        roll, width = window
+        center = jnp.roll(canvas_map, -roll, axis=1)[:, :width]
+        d_l = eight_ray_min_distance(center == 100, step, max_i)
+        d_r = eight_ray_min_distance(center == 50, step, max_i)
+        out_w = width
+    else:
+        length = w // cfg.blend_extend_div
+        ext = im.wrap_extend_x(canvas_map, length)
+        d_l = im.crop_x(eight_ray_min_distance(ext == 100, step, max_i),
+                        length)
+        d_r = im.crop_x(eight_ray_min_distance(ext == 50, step, max_i),
+                        length)
+        center = canvas_map
+        out_w = w
+
     d_l = jnp.where(jnp.isinf(d_l), none_val, d_l)
     d_r = jnp.where(jnp.isinf(d_r), none_val, d_r)
 
     counted = d_l / (d_l + d_r)
     merged_dis = jnp.minimum(d_l, d_r)
 
-    center = im.crop_x(ext, length)  # == canvas_map
     blend = jnp.where(center == 100, 0.0,
                       jnp.where(center == 50, 1.0,
                                 jnp.where(center == 150, counted, 0.5)))
@@ -101,14 +129,20 @@ def generate_blend(
     if k_sel >= 2:
         blurred = im.box_blur(blend, k_sel, k_sel)
         # block (by, bx) covers rows [by*step, by*step+step); only blocks
-        # fully inside (loop bound y + step < H) are smoothed.
-        hq, wq = h // step, w // step
+        # fully inside (loop bound y + step < H) are smoothed.  With a
+        # step-aligned window the block grid matches the full canvas; the
+        # x in-bounds test uses global column ids.
+        hq, wq = h // step, out_w // step
         sel = merged_dis[: hq * step : step, : wq * step : step] > step
         # a block starting at q*step is processed iff q*step + step < dim
         qy = jnp.arange(hq) * step + step < h
-        qx = jnp.arange(wq) * step + step < w
+        if window is not None and window[1] < w:
+            gx = (jnp.arange(wq) * step + window[0]) % w
+            qx = gx + step < w
+        else:
+            qx = jnp.arange(wq) * step + step < w
         sel = sel & qy[:, None] & qx[None, :]
-        sel_full = jnp.zeros((h, w), bool)
+        sel_full = jnp.zeros((h, out_w), bool)
         sel_up = jnp.repeat(jnp.repeat(sel, step, axis=0), step, axis=1)
         sel_full = sel_full.at[: hq * step, : wq * step].set(sel_up)
         blend = jnp.where(sel_full, blurred, blend)

@@ -198,6 +198,7 @@ def relax_phase_pallas(
     vreg = params.vertical_regularization_coef
     hreg = params.horizontal_regularization_coef
     step = params.gradient_step_size
+    fold = params.fold_descent_sample
     lim = D - 1e-3
 
     def kernel(fx_h, fy_h, bx_h, by_h, i0x_h, i0y_h, bfx_h, bfy_h, m_h,
@@ -325,8 +326,9 @@ def relax_phase_pallas(
             bfxb = bfx_r[:, :][:the, :twe]
             bfyb = bfy_r[:, :][:the, :twe]
             best_fx, best_fy = fxb, fyb
-            best_e = err_terms(s0x_r[:, :][:the, :twe],
-                               s0y_r[:, :][:the, :twe],
+            best_sx = s0x_r[:, :][:the, :twe]
+            best_sy = s0y_r[:, :][:the, :twe]
+            best_e = err_terms(best_sx, best_sy,
                                fxb, fyb, i0xb, i0yb, bfxb, bfyb)
             for (srx, sry, dy_, dx_) in (
                     (sxpx_r, sxpy_r, 0, 1),    # from left
@@ -335,26 +337,36 @@ def relax_phase_pallas(
                     (symx_r, symy_r, -1, 0)):  # from down
                 cfx = roll2(fxb, dy_, dx_)
                 cfy = roll2(fyb, dy_, dx_)
-                e = err_terms(roll2(srx[:, :][:the, :twe], dy_, dx_),
-                              roll2(sry[:, :][:the, :twe], dy_, dx_),
+                csx = roll2(srx[:, :][:the, :twe], dy_, dx_)
+                csy = roll2(sry[:, :][:the, :twe], dy_, dx_)
+                e = err_terms(csx, csy,
                               cfx, cfy, i0xb, i0yb, bfxb, bfyb)
                 take = e < best_e
                 best_fx = jnp.where(take, cfx, best_fx)
                 best_fy = jnp.where(take, cfy, best_fy)
                 best_e = jnp.where(take, e, best_e)
+                if fold:
+                    best_sx = jnp.where(take, csx, best_sx)
+                    best_sy = jnp.where(take, csy, best_sy)
 
             # ---- pass B: descent at the accepted flow ----
             dx2 = jnp.clip(best_fx - bxb, -lim, lim)
             dy2 = jnp.clip(best_fy - byb, -lim, lim)
             x_pass(dx2, _hat, xax_r, xay_r)
             x_pass(dx2, _dhat, gax_r, gay_r)
-            # S2 and Gy from hat-X; Gx from dhat-X
-            y_pass(dy2, _hat, xax_r, xay_r, ((s0x_r, s0y_r, 0, 0),))
-            y_pass(dy2, _dhat, xax_r, xay_r, ((sypx_r, sypy_r, 0, 0),))
-            y_pass(dy2, _hat, gax_r, gay_r, ((sxpx_r, sxpy_r, 0, 0),))
-
-            s2x = s0x_r[:, :][:the, :twe]
-            s2y = s0y_r[:, :][:the, :twe]
+            if fold:
+                # the accepted candidate's sample (tracked above) IS the
+                # descent residual sample; Gy from hat-X, Gx from dhat-X
+                y_pass(dy2, _dhat, xax_r, xay_r, ((sypx_r, sypy_r, 0, 0),))
+                y_pass(dy2, _hat, gax_r, gay_r, ((sxpx_r, sxpy_r, 0, 0),))
+                s2x, s2y = best_sx, best_sy
+            else:
+                # S2 and Gy from hat-X; Gx from dhat-X
+                y_pass(dy2, _hat, xax_r, xay_r, ((s0x_r, s0y_r, 0, 0),))
+                y_pass(dy2, _dhat, xax_r, xay_r, ((sypx_r, sypy_r, 0, 0),))
+                y_pass(dy2, _hat, gax_r, gay_r, ((sxpx_r, sxpy_r, 0, 0),))
+                s2x = s0x_r[:, :][:the, :twe]
+                s2y = s0y_r[:, :][:the, :twe]
             gyx = sypx_r[:, :][:the, :twe]
             gyy = sypy_r[:, :][:the, :twe]
             gxx = sxpx_r[:, :][:the, :twe]

@@ -119,7 +119,8 @@ def warp_by_flow_tiled(img: jax.Array, flow: jax.Array, tile_h: int = 64,
 
 
 def sample_maps(w1g_pad: jax.Array, dx: jax.Array, dy: jax.Array, D: int,
-                with_neighbors: bool, with_grad: bool):
+                with_neighbors: bool, with_grad: bool,
+                with_sample: bool = True):
     """Separable hat-window sampling over the pre-padded
     (H+2(D+1), W+2(D+1), 2) image.
 
@@ -167,7 +168,7 @@ def sample_maps(w1g_pad: jax.Array, dx: jax.Array, dy: jax.Array, D: int,
         return acc
 
     x_hat = x_pass(_hat)
-    S = y_pass(x_hat, _hat, 0, 0)
+    S = y_pass(x_hat, _hat, 0, 0) if with_sample else None
     nbrs = None
     if with_neighbors:
         nbrs = {
@@ -234,7 +235,7 @@ def relax_phase_fast(
         S, nbrs, _, _ = sample_maps(w1g_pad, delta[..., 0], delta[..., 1],
                                     D, True, False)
         e_self = _err_terms(i0x, i0y, S, flow, blurred_flow, params, w)
-        best_flow, best_err = flow, e_self
+        best_flow, best_err, best_samp = flow, e_self, S
 
         # candidate from LEFT: its sample at x = (left's own +x1 map)
         # shifted right by one; same pattern for the other directions.
@@ -252,11 +253,20 @@ def relax_phase_fast(
             take = e < best_err
             best_flow = jnp.where(take[..., None], cand, best_flow)
             best_err = jnp.where(take, e, best_err)
+            best_samp = jnp.where(take[..., None], samp, best_samp)
 
         # ---- pass B: descent at the accepted flow ----
         delta2 = best_flow - f_base
-        S2, _, Gx, Gy = sample_maps(w1g_pad, delta2[..., 0], delta2[..., 1],
-                                    D, False, True)
+        if params.fold_descent_sample:
+            # reuse the accepted candidate's sample from pass A; only the
+            # derivative maps need fresh passes
+            _, _, Gx, Gy = sample_maps(
+                w1g_pad, delta2[..., 0], delta2[..., 1], D, False, True,
+                with_sample=False)
+            S2 = best_samp
+        else:
+            S2, _, Gx, Gy = sample_maps(
+                w1g_pad, delta2[..., 0], delta2[..., 1], D, False, True)
         d0 = i0x - S2[..., 0]
         d1 = i0y - S2[..., 1]
         q = jnp.sqrt(d0 * d0 + d1 * d1)

@@ -73,6 +73,14 @@ class FlowParams:
     # gathers everywhere (reference-faithful, used by oracle tests).
     relax_impl: str = "fast"
     fast_window: int = 3
+    # Reuse the accepted propagation candidate's sample (tracked through
+    # pass A) as the descent residual instead of re-sampling at the
+    # accepted flow -- removes one of the three y-passes in pass B
+    # (~8% of the relax kernel).  The two differ only when the winning
+    # neighbour's recentring base f_base differs from the pixel's own
+    # (first-order in f_base smoothness, same class as the recentring
+    # approximation itself); fidelity is covered by the EPE/SSIM gates.
+    fold_descent_sample: bool = True
     # Use the Pallas TPU kernels for the fast path (median + relax
     # phase); pure-jnp fallback otherwise (identical semantics).  Small
     # pyramid levels stay on the fused XLA path: per-kernel DMA/launch

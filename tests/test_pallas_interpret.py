@@ -29,8 +29,12 @@ def test_median5_kernel_interpret(rng, interp):
     np.testing.assert_array_equal(got, ref)
 
 
-def test_relax_kernel_interpret(rng, interp):
-    params = flow_params_by_name("pixflow_low")
+@pytest.mark.parametrize("fold", [True, False])
+def test_relax_kernel_interpret(rng, interp, fold):
+    import dataclasses
+
+    params = dataclasses.replace(flow_params_by_name("pixflow_low"),
+                                 fold_descent_sample=fold)
     h, w = 48, 96
     mk = lambda s=0.1: rng.standard_normal((h, w)).astype(np.float32) * s
     i0x, i0y, w1x, w1y = mk(), mk(), mk(), mk()
