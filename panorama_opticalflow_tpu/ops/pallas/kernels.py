@@ -192,7 +192,8 @@ def relax_phase_pallas(
     args = [pad_to(a, halo, ph_, pw_)
             for a in (fx, fy, bx, by, i0x, i0y, bfx, bfy, mask)]
     phw, pww = (gh - 1) * th + thw_a, (gw - 1) * tw + tww_a
-    w1 = [pad_to(a, halo + ps, phw, pww) for a in (w1x, w1y)]
+    w1_dt = jnp.bfloat16 if params.w1_bf16 else jnp.float32
+    w1 = [pad_to(a, halo + ps, phw, pww).astype(w1_dt) for a in (w1x, w1y)]
 
     smooth = params.smoothness_coef
     vreg = params.vertical_regularization_coef
@@ -282,8 +283,10 @@ def relax_phase_pallas(
             w1yv = w1y_r[:, :]
             for ox in range(-D, D + 1):
                 wgt = weight_fn(dxe - ox)               # (xr_a, xw_a)
-                vx = w1xv[1:1 + xr_a, ps - 1 + ox:ps - 1 + ox + xw_a]
-                vy = w1yv[1:1 + xr_a, ps - 1 + ox:ps - 1 + ox + xw_a]
+                vx = w1xv[1:1 + xr_a, ps - 1 + ox:ps - 1 + ox + xw_a] \
+                    .astype(jnp.float32)
+                vy = w1yv[1:1 + xr_a, ps - 1 + ox:ps - 1 + ox + xw_a] \
+                    .astype(jnp.float32)
                 outx_r[:, :] = outx_r[:, :] + wgt * vx
                 outy_r[:, :] = outy_r[:, :] + wgt * vy
 
@@ -406,7 +409,7 @@ def relax_phase_pallas(
         out_shape=[jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32)] * 2,
         scratch_shapes=(
             [pltpu.VMEM((the_a, twe_a), jnp.float32)] * 9
-            + [pltpu.VMEM((thw_a, tww_a), jnp.float32)] * 2
+            + [pltpu.VMEM((thw_a, tww_a), w1_dt)] * 2
             + [pltpu.VMEM((xr_a, xw_a), jnp.float32)] * 4
             + [pltpu.VMEM((the_a, twe_a), jnp.float32)] * 10
             + [pltpu.SemaphoreType.DMA((11,))]

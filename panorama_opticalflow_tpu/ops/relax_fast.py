@@ -222,6 +222,9 @@ def relax_phase_fast(
     the recentering approximation."""
     h, w = i0x.shape
     pad = D + 1
+    if params.w1_bf16:
+        # quantise once at load, arithmetic stays f32 (kernel parity)
+        w1g = w1g.astype(jnp.bfloat16).astype(jnp.float32)
     w1g_pad = jnp.pad(w1g, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
     inf = jnp.float32(jnp.inf)
     valid_l = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) >= 1

@@ -91,6 +91,11 @@ class FlowParams:
     # overlap (the (64, 256) tile recomputes ~2x; (64, 512) ~1.7x) at
     # the cost of VMEM scratch; bounded by the 16 MB scoped-vmem limit.
     pallas_tile: tuple[int, int] = (64, 256)
+    # Hold the warped-gradient windows (the largest per-tile buffers) in
+    # bfloat16: halves their DMA bytes and VMEM, freeing headroom for
+    # bigger tiles.  The rounding happens once at load; all arithmetic
+    # stays f32 (the jnp path quantises identically for parity).
+    w1_bf16: bool = False
 
     @property
     def search_distance(self) -> int:

@@ -29,12 +29,14 @@ def test_median5_kernel_interpret(rng, interp):
     np.testing.assert_array_equal(got, ref)
 
 
-@pytest.mark.parametrize("fold", [True, False])
-def test_relax_kernel_interpret(rng, interp, fold):
+@pytest.mark.parametrize("fold,w1_bf16", [(True, False), (False, False),
+                                          (True, True)])
+def test_relax_kernel_interpret(rng, interp, fold, w1_bf16):
     import dataclasses
 
     params = dataclasses.replace(flow_params_by_name("pixflow_low"),
-                                 fold_descent_sample=fold)
+                                 fold_descent_sample=fold,
+                                 w1_bf16=w1_bf16)
     h, w = 48, 96
     mk = lambda s=0.1: rng.standard_normal((h, w)).astype(np.float32) * s
     i0x, i0y, w1x, w1y = mk(), mk(), mk(), mk()
