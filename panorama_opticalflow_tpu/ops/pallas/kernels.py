@@ -33,6 +33,35 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+@functools.lru_cache(maxsize=None)
+def _ladder(ratio: float = 1.25, top: int = 4096) -> tuple[int, ...]:
+    """Geometric ladder of tile counts: {ceil(ratio^k)} deduped."""
+    vals, v = [], 1.0
+    while v <= top:
+        if not vals or int(-(-v // 1)) > vals[-1]:
+            vals.append(int(-(-v // 1)))
+        v *= ratio
+    return tuple(vals)
+
+
+def _bucket_tiles(g: int, bucket: bool) -> int:
+    """Round a tile count up to the next ladder rung.
+
+    Pyramid levels shrink by 0.9 per level; the 1.25 rung ratio makes
+    ~2 adjacent levels share one padded shape, so their Pallas kernels
+    serialize to identical Mosaic payloads and the TPU compiler's
+    payload cache compiles each rung once instead of once per level.
+    Outputs are bit-identical (padding is edge-replicated and cropped);
+    the only cost is <= 25%/dim wasted compute on the smaller levels of
+    a rung."""
+    if not bucket:
+        return g
+    for v in _ladder():
+        if v >= g:
+            return v
+    return g
+
+
 def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -97,15 +126,18 @@ def _median5_kernel(x_hbm, o_ref, x_vmem, sem):
     o_ref[0, :, :] = _median25(shifts)
 
 
-def median5_pallas(x: jax.Array) -> jax.Array:
+def median5_pallas(x: jax.Array, bucket: bool = True) -> jax.Array:
     """cv::medianBlur 5x5, BORDER_REPLICATE, for (H, W) or (B, H, W) f32
     planes.  A batch of planes (e.g. fx/fy of both flow directions) runs
-    as one launch with a leading grid dimension."""
+    as one launch with a leading grid dimension.  ``bucket`` ladder-pads
+    the grid so nearby shapes compile one shared Mosaic payload
+    (bit-identical output, see _bucket_tiles)."""
     squeeze = x.ndim == 2
     if squeeze:
         x = x[None]
     nb, h, w = x.shape
-    gh, gw = _cdiv(h, _MED_TH), _cdiv(w, _MED_TW)
+    gh = _bucket_tiles(_cdiv(h, _MED_TH), bucket)
+    gw = _bucket_tiles(_cdiv(w, _MED_TW), bucket)
     hp, wp = gh * _MED_TH, gw * _MED_TW
     # replicate-pad 2 for the window plus aligned-window slack
     xp = jnp.pad(x, ((0, 0), (2, hp - h + 6), (2, wp - w + 126)), mode="edge")
@@ -172,7 +204,8 @@ def relax_phase_pallas(
     th, tw = tile
     halo = iters + D + 2      # propagation + sampling contamination
     ps = D + 2                # sampling reach of the hat window
-    gh, gw = _cdiv(h, th), _cdiv(w, tw)
+    gh = _bucket_tiles(_cdiv(h, th), params.pallas_bucket)
+    gw = _bucket_tiles(_cdiv(w, tw), params.pallas_bucket)
     hp, wp = gh * th, gw * tw
 
     the = th + 2 * halo                    # logical extended tile
@@ -196,14 +229,17 @@ def relax_phase_pallas(
     w1 = [pad_to(a, halo + ps, phw, pww).astype(w1_dt) for a in (w1x, w1y)]
 
     smooth = params.smoothness_coef
-    vreg = params.vertical_regularization_coef
-    hreg = params.horizontal_regularization_coef
     step = params.gradient_step_size
     fold = params.fold_descent_sample
     lim = D - 1e-3
+    # the reg coefficients carry the level width w; passing them in SMEM
+    # (instead of baking w into the body) keeps the kernel payload
+    # level-independent so bucketed shapes dedup Mosaic compiles
+    regs = jnp.array([params.vertical_regularization_coef / w,
+                      params.horizontal_regularization_coef / w], jnp.float32)
 
     def kernel(fx_h, fy_h, bx_h, by_h, i0x_h, i0y_h, bfx_h, bfy_h, m_h,
-               w1x_h, w1y_h, ofx_r, ofy_r,
+               w1x_h, w1y_h, regs_r, ofx_r, ofy_r,
                fx_r, fy_r, bx_r, by_r, i0x_r, i0y_r, bfx_r, bfy_r, m_r,
                w1x_r, w1y_r,
                xax_r, xay_r, gax_r, gay_r,
@@ -233,6 +269,9 @@ def relax_phase_pallas(
         for c in copies:
             c.wait()
 
+        vreg_w = regs_r[0]
+        hreg_w = regs_r[1]
+
         def err_terms(sx, sy, cfx, cfy, i0xb, i0yb, bfxb, bfyb):
             d0 = i0xb - sx
             d1 = i0yb - sy
@@ -241,7 +280,7 @@ def relax_phase_pallas(
             fdy = bfyb - cfy
             sm = jnp.sqrt(fdx * fdx + fdy * fdy)
             return (data + smooth * sm
-                    + (vreg * jnp.abs(cfy) + hreg * jnp.abs(cfx)) / w)
+                    + vreg_w * jnp.abs(cfy) + hreg_w * jnp.abs(cfx))
 
         def roll2(a, dy_, dx_):
             out = a
@@ -386,9 +425,9 @@ def relax_phase_pallas(
             sv = jnp.sqrt(fdx * fdx + fdy * fdy)
             inv_s = jnp.where(sv > 1e-12, 1.0 / sv, 0.0)
             gx = ddx + smooth * (-fdx * inv_s) \
-                + hreg * jnp.sign(best_fx) / w
+                + hreg_w * jnp.sign(best_fx)
             gy = ddy + smooth * (-fdy * inv_s) \
-                + vreg * jnp.sign(best_fy) / w
+                + vreg_w * jnp.sign(best_fy)
             mb = m_r[:, :][:the, :twe]
             nfx = jnp.where(mb > 0, best_fx - step * gx, fxb)
             nfy = jnp.where(mb > 0, best_fy - step * gy, fyb)
@@ -403,7 +442,8 @@ def relax_phase_pallas(
     out_fx, out_fy = pl.pallas_call(
         kernel,
         grid=(nb, gh, gw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 11,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 11
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[pl.BlockSpec((1, th, tw), lambda b, i, j: (b, i, j),
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32)] * 2,
@@ -414,7 +454,7 @@ def relax_phase_pallas(
             + [pltpu.VMEM((the_a, twe_a), jnp.float32)] * 10
             + [pltpu.SemaphoreType.DMA((11,))]
         ),
-    )(*args, *w1)
+    )(*args, *w1, regs)
     out_fx, out_fy = out_fx[:, :h, :w], out_fy[:, :h, :w]
     if squeeze:
         return out_fx[0], out_fy[0]

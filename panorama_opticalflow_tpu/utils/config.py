@@ -87,6 +87,13 @@ class FlowParams:
     # overhead exceeds the arithmetic there.
     use_pallas: bool = True
     pallas_min_pixels: int = 128 * 512
+    # Ladder-bucket the Pallas kernels' padded shapes/grids so ~2
+    # adjacent pyramid levels share one Mosaic payload (bit-identical
+    # output: padding is edge-replicated and cropped).  Measured on the
+    # v5e dev tunnel: Mosaic payload compiles are ~0.35 s each and the
+    # XLA graph compile dominates, so the default is off -- the knob
+    # exists for toolchains where per-payload compiles are expensive.
+    pallas_bucket: bool = False
     # Relax kernel tile (rows, cols).  Bigger tiles amortise the halo
     # overlap (the (64, 256) tile recomputes ~2x; (64, 512) ~1.7x) at
     # the cost of VMEM scratch; bounded by the 16 MB scoped-vmem limit.
