@@ -68,6 +68,17 @@ def run_once(w: int, h: int, repeats: int) -> dict:
 
     mp = h * w / 1e6
     ref_s = REFERENCE_SECONDS * mp / REFERENCE_MP
+    measured = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "MEASURED_BASELINE.json")) as f:
+            measured = json.load(f)["stitch6_pixflow_low"].get(f"{w}x{h}")
+    except Exception:  # noqa: BLE001
+        pass
+    extra = {}
+    if measured:
+        extra = {"measured_ref_s": measured,
+                 "vs_measured_ref": round(measured / best, 2)}
     return {
         "metric": f"6-photo {w}x{h} stitch latency (pixflow_low, "
                   f"{jax.devices()[0].platform})",
@@ -79,6 +90,7 @@ def run_once(w: int, h: int, repeats: int) -> dict:
         "mp_per_s": round(5 * mp / best, 1),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
+        **extra,
     }
 
 

@@ -39,6 +39,8 @@ def main() -> None:
                     help="reuse an existing synthetic set / work dir")
     ap.add_argument("--skip_ref", action="store_true")
     ap.add_argument("--skip_ours", action="store_true")
+    ap.add_argument("--variant", type=int, default=6, choices=[4, 6],
+                    help="6-input iterative or 4-input single-pass")
     args = ap.parse_args()
     w, h = (int(t) for t in args.canvas.split("x"))
 
@@ -49,25 +51,34 @@ def main() -> None:
     from panorama_opticalflow_tpu.utils import io as pio
     from panorama_opticalflow_tpu.utils.metrics import ssim
 
+    four = args.variant == 4
+    sentinel = "1.tif" if four else "top.tif"
     d = args.test_dir or tempfile.mkdtemp(prefix="refcmp_")
     os.makedirs(d, exist_ok=True)
-    if not os.path.exists(os.path.join(d, "top.tif")):
-        photos_np, top_np = pio.synthesize_fisheye_set(h, w, n=5, seed=0)
-        for i, img in enumerate(photos_np, start=1):
-            pio.write_image(os.path.join(d, f"{i}.tif"), img)
-        pio.write_image(os.path.join(d, "top.tif"), top_np)
+    if not os.path.exists(os.path.join(d, sentinel)):
+        if four:
+            for i, img in enumerate(
+                    pio.synthesize_four_input_set(h, w, seed=0), start=1):
+                pio.write_image(os.path.join(d, f"{i}.tif"), img)
+        else:
+            photos_np, top_np = pio.synthesize_fisheye_set(h, w, n=5, seed=0)
+            for i, img in enumerate(photos_np, start=1):
+                pio.write_image(os.path.join(d, f"{i}.tif"), img)
+            pio.write_image(os.path.join(d, "top.tif"), top_np)
 
     out = {"canvas": args.canvas, "flow_alg": args.flow_alg,
-           "test_dir": d}
+           "variant": args.variant, "test_dir": d}
 
+    ref_bin = REF_BIN.replace("ref_stitch6", "ref_stitch4") if four \
+        else REF_BIN
     ref_png = os.path.join(d, "FinalResult_ref.png")
     if not args.skip_ref and not os.path.exists(ref_png):
-        if not os.path.exists(REF_BIN):
-            sys.exit(f"missing {REF_BIN}; run tools/reference_baseline/"
+        if not os.path.exists(ref_bin):
+            sys.exit(f"missing {ref_bin}; run tools/reference_baseline/"
                      "build.sh first")
         t0 = time.time()
         subprocess.run(
-            [REF_BIN, "-test_dir", d, "-top_img", "top.tif",
+            [ref_bin, "-test_dir", d, "-top_img", "top.tif",
              "-flow_alg", args.flow_alg], check=True)
         out["ref_s"] = round(time.time() - t0, 2)
         os.rename(os.path.join(d, "FinalResult.png"), ref_png)
@@ -82,12 +93,15 @@ def main() -> None:
         from panorama_opticalflow_tpu.utils.native_io import write_image_fast
 
         cfg = StitchConfig(flow_alg=args.flow_alg)
+        n_in = 4 if four else 5
         photos = [jax.device_put(
             pio.read_image_rgba(os.path.join(d, f"{i}.tif")))
-            for i in range(1, 6)]
-        top = jax.device_put(pio.read_image_rgba(os.path.join(d, "top.tif")))
+            for i in range(1, n_in + 1)]
+        top = None if four else jax.device_put(
+            pio.read_image_rgba(os.path.join(d, "top.tif")))
         t0 = time.time()
-        res = pipeline.stitch_six(photos, top, cfg)
+        res = (pipeline.stitch_four(photos, cfg) if four
+               else pipeline.stitch_six(photos, top, cfg))
         res_np = np.asarray(res)
         out["ours_s"] = round(time.time() - t0, 2)
         out["ours_backend"] = jax.devices()[0].platform
