@@ -33,8 +33,12 @@ def init_runtime(verbose: bool = True, compilation_cache: bool = True) -> None:
         with contextlib.suppress((OSError, ValueError, RuntimeError)):
             faulthandler.register(sig, chain=True)
     if compilation_cache:
-        cache_dir = os.environ.get(
-            "PANOSTITCH_CACHE", os.path.expanduser("~/.cache/panostitch_xla"))
+        # default inside the repo: /root/repo/.cache survives build rounds,
+        # the home dir may not
+        repo_cache = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".cache", "xla")
+        cache_dir = os.environ.get("PANOSTITCH_CACHE", repo_cache)
         with contextlib.suppress(Exception):
             import jax
 

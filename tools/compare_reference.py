@@ -97,13 +97,21 @@ def main() -> None:
         photos = [jax.device_put(
             pio.read_image_rgba(os.path.join(d, f"{i}.tif")))
             for i in range(1, n_in + 1)]
+        from panorama_opticalflow_tpu.utils.runtime import init_runtime
+
+        init_runtime(verbose=False)
         top = None if four else jax.device_put(
             pio.read_image_rgba(os.path.join(d, "top.tif")))
-        t0 = time.time()
-        res = (pipeline.stitch_four(photos, cfg) if four
-               else pipeline.stitch_six(photos, top, cfg))
-        res_np = np.asarray(res)
-        out["ours_s"] = round(time.time() - t0, 2)
+
+        def run():
+            t0 = time.time()
+            res = (pipeline.stitch_four(photos, cfg) if four
+                   else pipeline.stitch_six(photos, top, cfg))
+            res_np = np.asarray(res)
+            return res_np, round(time.time() - t0, 2)
+
+        res_np, out["ours_cold_s"] = run()     # includes jit compile
+        _, out["ours_s"] = run()               # warm
         out["ours_backend"] = jax.devices()[0].platform
         write_image_fast(ours_png, res_np)
 
