@@ -24,6 +24,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from panorama_opticalflow_tpu.ops import image as im
 from panorama_opticalflow_tpu.ops.warp import bilinear_extend
@@ -53,6 +54,104 @@ def _build_pyramid(img: jax.Array, sizes: list[tuple[int, int]]) -> list[jax.Arr
     for s in sizes[1:]:
         pyr.append(im.resize(pyr[-1], s, "linear"))
     return pyr
+
+
+# ---------------------------------------------------------------------------
+# Rung-scanned descent over the coarse pyramid tail
+# ---------------------------------------------------------------------------
+#
+# The ~40-level 0.9-factor pyramid fully unrolled in one jit produces an
+# XLA graph of ~5k ops *per level* (~200k ops at the 36 MP headline),
+# which the TPU compiler chews on for hours.  The coarse tail carries
+# almost no runtime work (level areas decay by 0.81x) but the same
+# per-level graph, so: group consecutive coarse levels into "rungs" that
+# share the padded shape of the rung's finest member and lax.scan over
+# them -- the level body is traced/compiled ONCE per rung.  The
+# inter-level flow upsample becomes a per-level pair of banded resize
+# matrices carried as scan inputs (ops/image.resize_axis_matrix): two
+# matmuls on the MXU, bit-identical weights to the static resize.
+#
+# Padding semantics: images are edge-replicated into the pad (Sobel at
+# the valid edge is then exact BORDER_REPLICATE), alphas are zero-padded
+# (update masks off, diffusion fills), and the resize matrices both
+# ignore input padding and edge-replicate output padding.  The only
+# deviation from the unrolled path is blur/median borders at the
+# bottom/right valid edges of scanned levels seeing replicated instead
+# of reflected content -- gated by tests/test_pixflow.py's scan-vs-
+# unrolled and oracle EPE checks.
+
+
+def _plan_rungs(sizes: list[tuple[int, int]], params: FlowParams):
+    """Split the non-coarsest levels into an unrolled fine prefix and
+    scan rungs.  Returns (first_scanned, rungs); rungs is a list of
+    lists of consecutive level indices in ascending (fine -> coarse)
+    order, empty when scanning is off or not worthwhile."""
+    n = len(sizes)
+    if not params.scan_coarse_levels or n < 3:
+        return n, []
+    s = next((i for i in range(n) if sizes[i][0] * sizes[i][1]
+              <= params.scan_max_pixels), n)
+    s = max(s, 1)  # the finest level keeps exact border semantics
+    last = n - 2   # the coarsest level (init/search) is never scanned
+    if last - s + 1 < params.scan_min_levels:
+        return n, []
+    rungs = [list(range(i, min(i + params.scan_rung_levels, last + 1)))
+             for i in range(s, last + 1, params.scan_rung_levels)]
+    return s, rungs
+
+
+def _mat_resize_flow(f: jax.Array, ah: jax.Array, aw: jax.Array) -> jax.Array:
+    """Resample a (..., H, W, 2) flow with per-axis resize matrices on
+    channel-split planes (out = ah @ plane @ aw^T), f32 MXU precision."""
+    lead = f.shape[:-3]
+    hp, wp = f.shape[-3:-1]
+    p = jnp.moveaxis(f, -1, 0).reshape(-1, hp, wp)
+    hi = jax.lax.Precision.HIGHEST
+    p = jnp.einsum("ij,pjk->pik", ah, p, precision=hi)
+    p = jnp.einsum("pik,lk->pil", p, aw, precision=hi)
+    return jnp.moveaxis(p.reshape((2,) + lead + (hp, wp)), 0, -1)
+
+
+def _run_rungs(rungs, sizes, pyr_g, pyr_a, flow, body, params: FlowParams):
+    """Run the scanned section of the coarse-to-fine descent.
+
+    ``pyr_g``/``pyr_a`` are [pyramid(img0), pyramid(img1)] lists of
+    per-level arrays; ``flow`` enters valid at sizes[rungs[-1][-1] + 1]
+    and leaves valid at sizes[rungs[0][0]].  ``body(imgs, alphas, f)``
+    runs one level at the rung shape (imgs/alphas are (2, hp, wp))."""
+    for rung in reversed(rungs):
+        hp, wp = sizes[rung[0]]
+        order = rung[::-1]  # scan steps go coarse -> fine
+
+        def pad_to(x, mode):
+            return jnp.pad(x, ((0, hp - x.shape[0]), (0, wp - x.shape[1])),
+                           mode=mode)
+
+        imgs_xs = jnp.stack([jnp.stack([pad_to(pyr_g[k][i], "edge")
+                                        for k in (0, 1)]) for i in order])
+        alphas_xs = jnp.stack([jnp.stack([pad_to(pyr_a[k][i], "constant")
+                                          for k in (0, 1)]) for i in order])
+        ah = jnp.asarray(np.stack(
+            [im.resize_axis_matrix(sizes[i + 1][0], sizes[i][0], hp, "cubic")
+             for i in order]))
+        aw = jnp.asarray(np.stack(
+            [im.resize_axis_matrix(sizes[i + 1][1], sizes[i][1], wp, "cubic")
+             for i in order]))
+
+        fpad = jnp.zeros(flow.shape[:-3] + (hp, wp, 2), jnp.float32)
+        fpad = jax.lax.dynamic_update_slice(
+            fpad, flow, (0,) * flow.ndim)
+
+        def step(f, xs):
+            imgs_i, alphas_i, ah_i, aw_i = xs
+            f = _mat_resize_flow(f, ah_i, aw_i) \
+                * (1.0 / params.pyr_scale_factor)
+            return body(imgs_i, alphas_i, f), None
+
+        flow, _ = jax.lax.scan(step, fpad, (imgs_xs, alphas_xs, ah, aw))
+        # each rung exits at its finest member, whose size IS the rung
+        # shape -- the carry leaves fully valid, no crop needed
+    return flow
 
 
 def error_function(
@@ -287,14 +386,14 @@ def patch_match_level(
                                   kernels.median5_pallas(f[..., 1])], -1)
             return im.median5(f)
 
-        for _ in range(phases):
+        def phase_body(f, _):
             # re-centre per phase: warp the gradient pair by the current
             # flow once, then relax bounded residuals against it
-            f_base = flow
+            f_base = f
             w1g_warp = warp_by_flow_tiled(i1g, f_base)
             if pallas_ok:
                 fx, fy = kernels.relax_phase_pallas(
-                    flow[..., 0], flow[..., 1],
+                    f[..., 0], f[..., 1],
                     f_base[..., 0], f_base[..., 1],
                     w1g_warp[..., 0], w1g_warp[..., 1],
                     i0x, i0y,
@@ -302,20 +401,26 @@ def patch_match_level(
                     update_mask.astype(jnp.float32),
                     params, iters, params.fast_window,
                     tile=params.pallas_tile)
-                flow = jnp.stack([fx, fy], axis=-1)
+                f = jnp.stack([fx, fy], axis=-1)
             else:
-                flow = relax_phase_fast(flow, f_base, w1g_warp, i0x, i0y,
-                                        blurred_flow, update_mask, params,
-                                        iters, D=params.fast_window)
-            flow = median_flow(flow)
+                f = relax_phase_fast(f, f_base, w1g_warp, i0x, i0y,
+                                     blurred_flow, update_mask, params,
+                                     iters, D=params.fast_window)
+            return median_flow(f), None
+
+        # phases as lax.scan: the phase body (the bulk of the level's
+        # graph) is traced/compiled once per level instead of per phase
+        flow, _ = jax.lax.scan(phase_body, flow, None, length=phases)
     else:
         def one_iter(f, _):
             return relax_iteration(f, i0x, i0y, i1g, blurred_flow,
                                    update_mask, params), None
 
-        for _ in range(phases):
-            flow, _ = jax.lax.scan(one_iter, flow, None, length=iters)
-            flow = im.median5(flow)
+        def phase_body(f, _):
+            f, _ = jax.lax.scan(one_iter, f, None, length=iters)
+            return im.median5(f), None
+
+        flow, _ = jax.lax.scan(phase_body, flow, None, length=phases)
     return low_alpha_flow_diffusion(flow, alpha0, alpha1, params)
 
 
@@ -345,13 +450,26 @@ def compute_optical_flow(
     p_a0 = _build_pyramid(a0, sizes)
     p_a1 = _build_pyramid(a1, sizes)
 
-    flow = None
-    for level in range(len(sizes) - 1, -1, -1):
+    n = len(sizes)
+    first_scanned, rungs = _plan_rungs(sizes, params)
+
+    # coarsest level: zero/search init + exact relaxation
+    flow = patch_match_level(p_i0[n - 1], p_i1[n - 1], p_a0[n - 1],
+                             p_a1[n - 1], None, hint, params)
+    finest_done = n - 1
+    if rungs:
+        def body(imgs_i, alphas_i, f):
+            return patch_match_level(imgs_i[0], imgs_i[1], alphas_i[0],
+                                     alphas_i[1], f, hint, params)
+
+        flow = _run_rungs(rungs, sizes, [p_i0, p_i1], [p_a0, p_a1],
+                          flow, body, params)
+        finest_done = first_scanned
+    for level in range(finest_done - 1, -1, -1):
+        flow = im.resize(flow, sizes[level], "cubic")
+        flow = flow * (1.0 / params.pyr_scale_factor)
         flow = patch_match_level(p_i0[level], p_i1[level], p_a0[level],
                                  p_a1[level], flow, hint, params)
-        if level > 0:
-            flow = im.resize(flow, sizes[level - 1], "cubic")
-            flow = flow * (1.0 / params.pyr_scale_factor)
 
     flow = im.resize(flow, (h, w), "linear")
     flow = flow * (1.0 / params.downscale_factor)
@@ -454,12 +572,13 @@ def patch_match_level_batched(
             return _from_planes(med, nb)
 
         vwarp = jax.vmap(warp_by_flow_tiled)
-        for _ in range(phases):
-            f_base = flow
+
+        def phase_body(f, _):
+            f_base = f
             w1g_warp = vwarp(i1g, f_base)
             if pallas_ok:
                 fx, fy = kernels.relax_phase_pallas(
-                    flow[..., 0], flow[..., 1],
+                    f[..., 0], f[..., 1],
                     f_base[..., 0], f_base[..., 1],
                     w1g_warp[..., 0], w1g_warp[..., 1],
                     i0x, i0y,
@@ -467,14 +586,18 @@ def patch_match_level_batched(
                     update_mask.astype(jnp.float32),
                     params, iters, params.fast_window,
                     tile=params.pallas_tile)
-                flow = jnp.stack([fx, fy], axis=-1)
+                f = jnp.stack([fx, fy], axis=-1)
             else:
-                flow = jax.vmap(
-                    lambda f, fb, wg, gx_, gy_, bf, m: relax_phase_fast(
-                        f, fb, wg, gx_, gy_, bf, m, params, iters,
+                f = jax.vmap(
+                    lambda fc, fb, wg, gx_, gy_, bf, m: relax_phase_fast(
+                        fc, fb, wg, gx_, gy_, bf, m, params, iters,
                         D=params.fast_window)
-                )(flow, f_base, w1g_warp, i0x, i0y, blurred_flow, update_mask)
-            flow = median_flow(flow)
+                )(f, f_base, w1g_warp, i0x, i0y, blurred_flow, update_mask)
+            return median_flow(f), None
+
+        # phases as lax.scan: the phase body (the bulk of the level's
+        # graph) is traced/compiled once per level instead of per phase
+        flow, _ = jax.lax.scan(phase_body, flow, None, length=phases)
     else:
         def run_phase(f, gx_, gy_, g1, bf, m):
             def one_iter(fc, _):
@@ -482,9 +605,11 @@ def patch_match_level_batched(
             fc, _ = jax.lax.scan(one_iter, f, None, length=iters)
             return im.median5(fc)
 
-        for _ in range(phases):
-            flow = jax.vmap(run_phase)(flow, i0x, i0y, i1g, blurred_flow,
-                                       update_mask)
+        def phase_body(f, _):
+            return jax.vmap(run_phase)(f, i0x, i0y, i1g, blurred_flow,
+                                       update_mask), None
+
+        flow, _ = jax.lax.scan(phase_body, flow, None, length=phases)
     # low-alpha diffusion (C8b), blur on channel-split planes
     blurred = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
         f, params.blurred_flow_kernel_width, params.blurred_flow_sigma))(
@@ -519,14 +644,27 @@ def compute_optical_flow_pair(
         return _from_planes(jax.vmap(lambda x: im.resize(x, s, m))(
             _as_planes(f)), f.shape[0])
 
-    flow = None
-    for level in range(len(sizes) - 1, -1, -1):
+    def run_level(level, flow):
         imgs = jnp.stack([p_g[0][level], p_g[1][level]])
         alphas = jnp.stack([p_a[0][level], p_a[1][level]])
-        flow = patch_match_level_batched(imgs, alphas, flow, hints, params)
-        if level > 0:
-            flow = vresize(flow, sizes[level - 1], "cubic")
-            flow = flow * (1.0 / params.pyr_scale_factor)
+        return patch_match_level_batched(imgs, alphas, flow, hints, params)
+
+    n = len(sizes)
+    first_scanned, rungs = _plan_rungs(sizes, params)
+
+    flow = run_level(n - 1, None)  # coarsest: zero/search init, exact
+    finest_done = n - 1
+    if rungs:
+        def body(imgs_i, alphas_i, f):
+            return patch_match_level_batched(imgs_i, alphas_i, f, hints,
+                                             params)
+
+        flow = _run_rungs(rungs, sizes, p_g, p_a, flow, body, params)
+        finest_done = first_scanned
+    for level in range(finest_done - 1, -1, -1):
+        flow = vresize(flow, sizes[level], "cubic")
+        flow = flow * (1.0 / params.pyr_scale_factor)
+        flow = run_level(level, flow)
 
     flow = vresize(flow, (h, w), "linear")
     flow = flow * (1.0 / params.downscale_factor)

@@ -101,6 +101,30 @@ def resize(img: jax.Array, out_hw: tuple[int, int], method: Method) -> jax.Array
     return x
 
 
+@functools.lru_cache(maxsize=None)
+def resize_axis_matrix(n_in: int, n_out: int, n_pad: int,
+                       method: Method) -> np.ndarray:
+    """The resample of ``_resize_axis_plan`` as a dense (n_pad, n_pad)
+    matrix A with ``out = A @ x`` (rows = output positions).
+
+    Used by the rung-scanned pyramid descent (models/pixflow.py): inside
+    a ``lax.scan`` over levels the per-level resize cannot be a static
+    gather, but it CAN be a per-level matrix carried as scan input --
+    two banded matmuls that ride the MXU.  Rows j >= n_out replicate row
+    n_out - 1 so the padded region of the output is edge-replicated;
+    columns only reference k < n_in (taps are clamped), so garbage in
+    the input's padding is never read.  Weights are bit-identical to the
+    static plan."""
+    assert n_in <= n_pad and n_out <= n_pad
+    idx, w = _resize_axis_plan(n_in, n_out, method)
+    a = np.zeros((n_pad, n_pad), np.float32)
+    rows = np.repeat(np.arange(n_out), idx.shape[1])
+    np.add.at(a, (rows, idx.reshape(-1)), w.reshape(-1))
+    if n_out < n_pad:
+        a[n_out:] = a[n_out - 1]
+    return a
+
+
 def resize_u8(img: jax.Array, out_hw: tuple[int, int], method: Method) -> jax.Array:
     """Resize a uint8 image with OpenCV-style round+saturate to uint8."""
     out = resize(img.astype(jnp.float32), out_hw, method)

@@ -94,6 +94,22 @@ class FlowParams:
     # XLA graph compile dominates, so the default is off -- the knob
     # exists for toolchains where per-payload compiles are expensive.
     pallas_bucket: bool = False
+    # Rung-scanned coarse pyramid tail (models/pixflow._run_rungs): group
+    # consecutive coarse levels (area <= scan_max_pixels, never the
+    # finest or the coarsest level) into rungs of scan_rung_levels that
+    # share the padded shape of the rung's finest member, and lax.scan
+    # over them.  The level body -- ~5k XLA ops -- is then traced and
+    # compiled ONCE per rung instead of once per level, cutting the jit
+    # graph (and the TPU compile time, hours at the 36 MP headline) by
+    # ~3-4x.  Runtime cost is the padded work on a rung's coarser
+    # members (~1.33x on ~12% of the flow work at default settings) plus
+    # per-level MXU resize matmuls.  Numerics deviate from the unrolled
+    # path only in blur/median borders at scanned levels' bottom/right
+    # edges (gated by the scan-vs-unrolled and oracle EPE/SSIM tests).
+    scan_coarse_levels: bool = True
+    scan_max_pixels: int = 448 * 1024
+    scan_rung_levels: int = 4
+    scan_min_levels: int = 3
     # Relax kernel tile (rows, cols).  Bigger tiles amortise the halo
     # overlap (the (64, 256) tile recomputes ~2x; (64, 512) ~1.7x) at
     # the cost of VMEM scratch; bounded by the 16 MB scoped-vmem limit.
