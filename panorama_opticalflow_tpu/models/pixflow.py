@@ -100,6 +100,27 @@ def _plan_rungs(sizes: list[tuple[int, int]], params: FlowParams):
     return s, rungs
 
 
+def _resize_plan_padded(n_in: int, n_out: int, n_pad: int):
+    """Static (idx, w) resample plan extended to n_pad rows (rows beyond
+    n_out replicate row n_out - 1, i.e. edge-replicated output padding).
+    Carried as tiny scan inputs instead of dense (n_pad, n_pad) matrix
+    constants, which at headline scale add ~25 MB to the program."""
+    idx, w = im._resize_axis_plan(n_in, n_out, "cubic")
+    reps = np.concatenate([np.arange(n_out),
+                           np.full(n_pad - n_out, n_out - 1)])
+    return idx[reps].astype(np.int32), w[reps]
+
+
+def _plan_to_matrix(idx: jax.Array, w: jax.Array, n_pad: int) -> jax.Array:
+    """Materialise the banded resize matrix A[j, k] = sum_m w[j, m] *
+    [idx[j, m] == k] on device (a handful of elementwise ops)."""
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    a = jnp.zeros((n_pad, n_pad), jnp.float32)
+    for m in range(idx.shape[1]):
+        a = a + jnp.where(k_iota == idx[:, m:m + 1], w[:, m:m + 1], 0.0)
+    return a
+
+
 def _mat_resize_flow(f: jax.Array, ah: jax.Array, aw: jax.Array) -> jax.Array:
     """Resample a (..., H, W, 2) flow with per-axis resize matrices on
     channel-split planes (out = ah @ plane @ aw^T), f32 MXU precision."""
@@ -131,24 +152,29 @@ def _run_rungs(rungs, sizes, pyr_g, pyr_a, flow, body, params: FlowParams):
                                         for k in (0, 1)]) for i in order])
         alphas_xs = jnp.stack([jnp.stack([pad_to(pyr_a[k][i], "constant")
                                           for k in (0, 1)]) for i in order])
-        ah = jnp.asarray(np.stack(
-            [im.resize_axis_matrix(sizes[i + 1][0], sizes[i][0], hp, "cubic")
-             for i in order]))
-        aw = jnp.asarray(np.stack(
-            [im.resize_axis_matrix(sizes[i + 1][1], sizes[i][1], wp, "cubic")
-             for i in order]))
+        plans = [(_resize_plan_padded(sizes[i + 1][0], sizes[i][0], hp),
+                  _resize_plan_padded(sizes[i + 1][1], sizes[i][1], wp))
+                 for i in order]
+        hplan = tuple(jnp.asarray(np.stack([p[0][k] for p in plans]))
+                      for k in (0, 1))
+        wplan = tuple(jnp.asarray(np.stack([p[1][k] for p in plans]))
+                      for k in (0, 1))
 
         fpad = jnp.zeros(flow.shape[:-3] + (hp, wp, 2), jnp.float32)
         fpad = jax.lax.dynamic_update_slice(
             fpad, flow, (0,) * flow.ndim)
 
         def step(f, xs):
-            imgs_i, alphas_i, ah_i, aw_i = xs
+            imgs_i, alphas_i, hidx, hw, widx, ww = xs
+            ah_i = _plan_to_matrix(hidx, hw, hp)
+            aw_i = _plan_to_matrix(widx, ww, wp)
             f = _mat_resize_flow(f, ah_i, aw_i) \
                 * (1.0 / params.pyr_scale_factor)
             return body(imgs_i, alphas_i, f), None
 
-        flow, _ = jax.lax.scan(step, fpad, (imgs_xs, alphas_xs, ah, aw))
+        flow, _ = jax.lax.scan(step, fpad, (imgs_xs, alphas_xs,
+                                            hplan[0], hplan[1],
+                                            wplan[0], wplan[1]))
         # each rung exits at its finest member, whose size IS the rung
         # shape -- the carry leaves fully valid, no crop needed
     return flow
