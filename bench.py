@@ -12,6 +12,7 @@ vs_baseline = reference_seconds / ours (>1 means faster than reference).
 Env overrides:
   PANOSTITCH_BENCH_CANVAS=WxH   (default 9000x4000)
   PANOSTITCH_BENCH_REPEATS=N    (default 1 timed repeat after warmup)
+  PANOSTITCH_BENCH_ALG=NAME     (pixflow_low | pixflow_search_20)
 """
 
 import json
@@ -26,7 +27,7 @@ REFERENCE_SECONDS = 30.0
 REFERENCE_MP = 36.0
 
 
-def run_once(w: int, h: int, repeats: int) -> dict:
+def run_once(w: int, h: int, repeats: int, alg: str) -> dict:
 
     from panorama_opticalflow_tpu.utils.runtime import init_runtime
 
@@ -44,7 +45,7 @@ def run_once(w: int, h: int, repeats: int) -> dict:
     dev = jax.devices()[0]
     photos = [jax.device_put(p, dev) for p in photos_np]
     top = jax.device_put(top_np, dev)
-    cfg = StitchConfig(flow_alg="pixflow_low")
+    cfg = StitchConfig(flow_alg=alg)
 
     def force(x):
         # the dev tunnel's block_until_ready does not actually block;
@@ -72,7 +73,7 @@ def run_once(w: int, h: int, repeats: int) -> dict:
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "MEASURED_BASELINE.json")) as f:
-            measured = json.load(f)["stitch6_pixflow_low"].get(f"{w}x{h}")
+            measured = json.load(f)[f"stitch6_{alg}"].get(f"{w}x{h}")
     except Exception:  # noqa: BLE001
         pass
     extra = {}
@@ -80,7 +81,7 @@ def run_once(w: int, h: int, repeats: int) -> dict:
         extra = {"measured_ref_s": measured,
                  "vs_measured_ref": round(measured / best, 2)}
     return {
-        "metric": f"6-photo {w}x{h} stitch latency (pixflow_low, "
+        "metric": f"6-photo {w}x{h} stitch latency ({alg}, "
                   f"{jax.devices()[0].platform})",
         "value": round(best, 4),
         "unit": "s",
@@ -100,6 +101,7 @@ def main() -> None:
     # dev tunnel compiler (see PERFORMANCE.md / ROADMAP.md)
     canvas = os.environ.get("PANOSTITCH_BENCH_CANVAS", "2250x1000")
     repeats = int(os.environ.get("PANOSTITCH_BENCH_REPEATS", "1"))
+    alg = os.environ.get("PANOSTITCH_BENCH_ALG", "pixflow_low")
     w, h = (int(t) for t in canvas.split("x"))
     # fall back through half-sizes if the headline size fails (e.g. the
     # dev tunnel's remote compiler flaking); the metric label stays
@@ -108,7 +110,7 @@ def main() -> None:
     last_err = None
     for ww, hh in sizes:
         try:
-            print(json.dumps(run_once(ww, hh, repeats)))
+            print(json.dumps(run_once(ww, hh, repeats, alg)))
             return
         except Exception as e:  # noqa: BLE001
             last_err = e
