@@ -107,10 +107,10 @@ def resize_axis_matrix(n_in: int, n_out: int, n_pad: int,
     """The resample of ``_resize_axis_plan`` as a dense (n_pad, n_pad)
     matrix A with ``out = A @ x`` (rows = output positions).
 
-    Used by the rung-scanned pyramid descent (models/pixflow.py): inside
-    a ``lax.scan`` over levels the per-level resize cannot be a static
-    gather, but it CAN be a per-level matrix carried as scan input --
-    two banded matmuls that ride the MXU.  Rows j >= n_out replicate row
+    Reference form of the rung-scanned descent's resize (models/
+    pixflow.py carries the compact 4-tap plans and materialises this
+    matrix on device; tests/test_levelscan.py checks both against the
+    static resize).  Rows j >= n_out replicate row
     n_out - 1 so the padded region of the output is edge-replicated;
     columns only reference k < n_in (taps are clamped), so garbage in
     the input's padding is never read.  Weights are bit-identical to the
