@@ -81,17 +81,20 @@ def _build_pyramid(img: jax.Array, sizes: list[tuple[int, int]]) -> list[jax.Arr
 # unrolled and oracle EPE checks.
 
 
-def _plan_rungs(sizes: list[tuple[int, int]], params: FlowParams):
+def _plan_rungs(sizes: list[tuple[int, int]], params: FlowParams,
+                lo: int = 0):
     """Split the non-coarsest levels into an unrolled fine prefix and
     scan rungs.  Returns (first_scanned, rungs); rungs is a list of
     lists of consecutive level indices in ascending (fine -> coarse)
-    order, empty when scanning is off or not worthwhile."""
+    order, empty when scanning is off or not worthwhile.  ``lo`` bounds
+    the finest scannable level (the tiled solver passes its first
+    replicated level -- tiled levels cannot be scanned)."""
     n = len(sizes)
     if not params.scan_coarse_levels or n < 3:
         return n, []
     s = next((i for i in range(n) if sizes[i][0] * sizes[i][1]
               <= params.scan_max_pixels), n)
-    s = max(s, 1)  # the finest level keeps exact border semantics
+    s = max(s, lo, 1)  # the finest level keeps exact border semantics
     last = n - 2   # the coarsest level (init/search) is never scanned
     if last - s + 1 < params.scan_min_levels:
         return n, []

@@ -326,6 +326,21 @@ def _build_tiled_pyramid(img, sizes, tiled_level, n, axis, dh):
     return pyr
 
 
+def _upsample_replicated(flow, level, *, sizes, tiled_level, n, axis,
+                         params):
+    """Post-level cubic upsample of a replicated flow toward level - 1,
+    slicing this device's rows when the next level is tiled."""
+    nh, nw = sizes[level - 1]
+    up = im.resize(flow, (nh, nw), "cubic") * (1.0 / params.pyr_scale_factor)
+    if tiled_level[level - 1]:
+        hb = _cdiv(nh, n)
+        up = jnp.pad(up, ((0, n * hb - nh), (0, 0), (0, 0)))
+        d = jax.lax.axis_index(axis)
+        up = jax.lax.dynamic_slice(up, (d * hb, 0, 0),
+                                   (hb, nw, up.shape[-1]))
+    return up
+
+
 def tiled_compute_optical_flow(
     rgba0: jax.Array, rgba1: jax.Array, params: FlowParams, hint: str,
     axis: str, n: int, h_global: int, tc: TileConfig = TileConfig(),
@@ -374,28 +389,42 @@ def tiled_compute_optical_flow(
     p_i0, p_i1 = build(i0), build(i1)
     p_a0, p_a1 = build(a0), build(a1)
 
+    upsample_rep = partial(_upsample_replicated, sizes=sizes,
+                           tiled_level=tiled_level, n=n, axis=axis,
+                           params=params)
+
+    # rung-scan the replicated coarse suffix (same compile-time
+    # restructure as models.pixflow; tiled levels cannot be scanned)
+    r0 = next((k for k in range(len(sizes)) if not tiled_level[k]),
+              len(sizes))
+    first_scanned, rungs = pixflow._plan_rungs(sizes, params, lo=r0)
+
     # ---- coarse -> fine ----
     flow = None
-    for level in range(len(sizes) - 1, -1, -1):
+    start = len(sizes) - 1
+    if rungs:
+        nl = len(sizes)
+        flow = pixflow.patch_match_level(
+            p_i0[nl - 1], p_i1[nl - 1], p_a0[nl - 1], p_a1[nl - 1],
+            None, hint, params)
+
+        def rbody(imgs_i, alphas_i, f):
+            return pixflow.patch_match_level(imgs_i[0], imgs_i[1],
+                                             alphas_i[0], alphas_i[1],
+                                             f, hint, params)
+
+        flow = pixflow._run_rungs(rungs, sizes, [p_i0, p_i1],
+                                  [p_a0, p_a1], flow, rbody, params)
+        flow = upsample_rep(flow, first_scanned)
+        start = first_scanned - 1
+    for level in range(start, -1, -1):
         lh, lw = sizes[level]
         if not tiled_level[level]:
             flow = pixflow.patch_match_level(
                 p_i0[level], p_i1[level], p_a0[level], p_a1[level],
                 flow, hint, params)
             if level > 0:
-                nh, nw = sizes[level - 1]
-                if tiled_level[level - 1]:
-                    # replicated -> tiled: upsample fully, slice my rows
-                    up = im.resize(flow, (nh, nw), "cubic") \
-                        * (1.0 / params.pyr_scale_factor)
-                    hb = _cdiv(nh, n)
-                    up = jnp.pad(up, ((0, n * hb - nh), (0, 0), (0, 0)))
-                    d = jax.lax.axis_index(axis)
-                    flow = jax.lax.dynamic_slice(
-                        up, (d * hb, 0, 0), (hb, nw, 2))
-                else:
-                    flow = im.resize(flow, (nh, nw), "cubic") \
-                        * (1.0 / params.pyr_scale_factor)
+                flow = upsample_rep(flow, level)
         else:
             halo = tc.level_halo
             ex = partial(_exchange_rows, halo=halo, axis=axis)
@@ -474,8 +503,30 @@ def tiled_compute_optical_flow_pair(
     def to_c(fb):   # inverse
         return jnp.concatenate([fb[0], fb[1]], axis=-1)
 
+    upsample_rep = partial(_upsample_replicated, sizes=sizes,
+                           tiled_level=tiled_level, n=n, axis=axis,
+                           params=params)
+    r0 = next((k for k in range(len(sizes)) if not tiled_level[k]),
+              len(sizes))
+    first_scanned, rungs = pixflow._plan_rungs(sizes, params, lo=r0)
+
     flow_c = None
-    for level in range(len(sizes) - 1, -1, -1):
+    start = len(sizes) - 1
+    if rungs:
+        nl = len(sizes)
+        fb = pixflow.patch_match_level_batched(
+            jnp.stack([p_i0[nl - 1], p_i1[nl - 1]]),
+            jnp.stack([p_a0[nl - 1], p_a1[nl - 1]]), None, hints, params)
+
+        def rbody(imgs_i, alphas_i, f):
+            return pixflow.patch_match_level_batched(imgs_i, alphas_i, f,
+                                                     hints, params)
+
+        fb = pixflow._run_rungs(rungs, sizes, [p_i0, p_i1], [p_a0, p_a1],
+                                fb, rbody, params)
+        flow_c = upsample_rep(to_c(fb), first_scanned)
+        start = first_scanned - 1
+    for level in range(start, -1, -1):
         lh, lw = sizes[level]
         if not tiled_level[level]:
             imgs = jnp.stack([p_i0[level], p_i1[level]])
@@ -484,17 +535,7 @@ def tiled_compute_optical_flow_pair(
             flow_c = to_c(pixflow.patch_match_level_batched(
                 imgs, alphas, fb, hints, params))
             if level > 0:
-                nh, nw = sizes[level - 1]
-                up = im.resize(flow_c, (nh, nw), "cubic") \
-                    * (1.0 / params.pyr_scale_factor)
-                if tiled_level[level - 1]:
-                    # replicated -> tiled: slice my rows
-                    hb = _cdiv(nh, n)
-                    up = jnp.pad(up, ((0, n * hb - nh), (0, 0), (0, 0)))
-                    d = jax.lax.axis_index(axis)
-                    up = jax.lax.dynamic_slice(up, (d * hb, 0, 0),
-                                               (hb, nw, 4))
-                flow_c = up
+                flow_c = upsample_rep(flow_c, level)
         else:
             halo = tc.level_halo
             ex = partial(_exchange_rows, halo=halo, axis=axis)
