@@ -149,3 +149,108 @@ long panoio_png_encode(const unsigned char* rgba, int height, int width,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// TIFF codec (libtiff) -- the reference pipeline's input format
+// (1.tif..5.tif, top.tif; imreadExceptionOnFail at CPU/util.cpp:19-26).
+// File-path API: panoramas are large, streaming through the OS cache is
+// fine, and TIFFOpen keeps the surface small.
+// ---------------------------------------------------------------------------
+
+#include <tiffio.h>
+
+extern "C" {
+
+// Decode a striped, contiguous, 8-bit gray/RGB/RGBA TIFF to RGBA8,
+// top-left origin, alpha passed through bit-exactly.  (libtiff's RGBA
+// convenience interface premultiplies unassociated alpha into the
+// colour channels, which would corrupt the alpha-as-footprint canvases
+// this pipeline stitches -- so read raw scanlines instead and reject
+// exotic layouts; the Python layer falls back to PIL for those.)
+// First call with out=nullptr fills *height/*width; second call fills
+// the caller-allocated h*w*4 buffer.  Returns 0 on success.
+int panoio_tiff_decode(const char* path, unsigned char* out, int* height,
+                       int* width) {
+  TIFFSetWarningHandler(nullptr);  // noisy unknown-tag warnings
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return -1;
+  uint32_t w = 0, h = 0;
+  uint16_t bps = 0, spp = 0, planar = PLANARCONFIG_CONTIG;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bps);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &spp);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_PLANARCONFIG, &planar);
+  *height = static_cast<int>(h);
+  *width = static_cast<int>(w);
+  if (out == nullptr) {
+    TIFFClose(tif);
+    return 0;
+  }
+  if (bps != 8 || (spp != 1 && spp != 3 && spp != 4) ||
+      planar != PLANARCONFIG_CONTIG || TIFFIsTiled(tif)) {
+    TIFFClose(tif);
+    return -3;  // unsupported layout: caller falls back
+  }
+  std::vector<unsigned char> row(TIFFScanlineSize(tif));
+  for (uint32_t y = 0; y < h; ++y) {
+    if (TIFFReadScanline(tif, row.data(), y, 0) < 0) {
+      TIFFClose(tif);
+      return -2;
+    }
+    unsigned char* dst = out + static_cast<size_t>(y) * w * 4;
+    const unsigned char* src = row.data();
+    if (spp == 4) {
+      std::memcpy(dst, src, static_cast<size_t>(w) * 4);
+    } else if (spp == 3) {
+      for (uint32_t x = 0; x < w; ++x) {
+        dst[4 * x + 0] = src[3 * x + 0];
+        dst[4 * x + 1] = src[3 * x + 1];
+        dst[4 * x + 2] = src[3 * x + 2];
+        dst[4 * x + 3] = 0xFF;
+      }
+    } else {  // gray
+      for (uint32_t x = 0; x < w; ++x) {
+        dst[4 * x + 0] = dst[4 * x + 1] = dst[4 * x + 2] = src[x];
+        dst[4 * x + 3] = 0xFF;
+      }
+    }
+  }
+  TIFFClose(tif);
+  return 0;
+}
+
+// Encode 8-bit RGBA to a striped LZW TIFF with an unassociated-alpha
+// extra sample (what cv::imwrite produces for CV_8UC4 and what the
+// decoder above reads back bit-exactly).  Returns 0 on success.
+int panoio_tiff_encode(const char* path, const unsigned char* rgba,
+                       int height, int width) {
+  TIFF* tif = TIFFOpen(path, "w");
+  if (!tif) return -1;
+  TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, static_cast<uint32_t>(width));
+  TIFFSetField(tif, TIFFTAG_IMAGELENGTH, static_cast<uint32_t>(height));
+  TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 4);
+  TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+  TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+  TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+  TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+  TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_LZW);
+  uint16_t extra[] = {EXTRASAMPLE_UNASSALPHA};
+  TIFFSetField(tif, TIFFTAG_EXTRASAMPLES, 1, extra);
+  TIFFSetField(tif, TIFFTAG_ROWSPERSTRIP,
+               TIFFDefaultStripSize(tif, static_cast<uint32_t>(-1)));
+  for (int y = 0; y < height; ++y) {
+    if (TIFFWriteScanline(
+            tif,
+            const_cast<unsigned char*>(rgba +
+                                       static_cast<size_t>(y) * width * 4),
+            y, 0) < 0) {
+      TIFFClose(tif);
+      return -2;
+    }
+  }
+  TIFFClose(tif);
+  return 0;
+}
+
+}  // extern "C"

@@ -52,6 +52,13 @@ def _load():
     lib.panoio_png_encode.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_size_t]
+    lib.panoio_tiff_decode.restype = ctypes.c_int
+    lib.panoio_tiff_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.panoio_tiff_encode.restype = ctypes.c_int
+    lib.panoio_tiff_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     _LIB = lib
     return lib
 
@@ -103,11 +110,54 @@ def png_encode(img: np.ndarray, compress_level: int = 1) -> bytes:
     return buf.raw[:n]
 
 
+def tiff_decode(path: str) -> np.ndarray:
+    """TIFF file -> (H, W, 4) uint8 RGBA via the native libtiff codec."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native panoio not available")
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    p = path.encode()
+    rc = lib.panoio_tiff_decode(p, None, ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"tiff decode failed: {rc}")
+    out = np.empty((h.value, w.value, 4), np.uint8)
+    rc = lib.panoio_tiff_decode(p, out.ctypes.data_as(ctypes.c_void_p),
+                                ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"tiff decode failed: {rc}")
+    return out
+
+
+def tiff_encode(path: str, img: np.ndarray) -> None:
+    """(H, W, 4) uint8 RGBA -> striped LZW TIFF via the native codec."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native panoio not available")
+    img = np.ascontiguousarray(img)
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 4
+    rc = lib.panoio_tiff_encode(path.encode(),
+                                img.ctypes.data_as(ctypes.c_void_p),
+                                img.shape[0], img.shape[1])
+    if rc != 0:
+        raise ValueError(f"tiff encode failed: {rc}")
+
+
+def _is_tiff(path: str) -> bool:
+    return path.lower().endswith((".tif", ".tiff"))
+
+
 def read_image_rgba_fast(path: str) -> np.ndarray:
-    """Native-codec read for PNG; PIL for everything else (TIFF...)."""
-    if path.lower().endswith(".png") and have_native():
-        with open(path, "rb") as f:
-            return png_decode(f.read())
+    """Native-codec read for PNG and TIFF; PIL for everything else."""
+    if have_native():
+        if path.lower().endswith(".png"):
+            with open(path, "rb") as f:
+                return png_decode(f.read())
+        if _is_tiff(path) and os.path.exists(path):
+            try:
+                return tiff_decode(path)
+            except ValueError:
+                pass  # exotic TIFF flavour: fall back to PIL
     from panorama_opticalflow_tpu.utils.io import read_image_rgba
 
     return read_image_rgba(path)
@@ -115,13 +165,17 @@ def read_image_rgba_fast(path: str) -> np.ndarray:
 
 def write_image_fast(path: str, img: np.ndarray,
                      compress_level: int = 1) -> None:
-    if path.lower().endswith(".png") and have_native() \
-            and img.ndim == 3 and img.shape[2] == 4:
-        data = png_encode(np.asarray(img, np.uint8), compress_level)
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(data)
-        return
+    if have_native() and img.ndim == 3 and img.shape[2] == 4:
+        if path.lower().endswith(".png"):
+            data = png_encode(np.asarray(img, np.uint8), compress_level)
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(data)
+            return
+        if _is_tiff(path):
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            tiff_encode(path, np.asarray(img, np.uint8))
+            return
     from panorama_opticalflow_tpu.utils.io import write_image
 
     write_image(path, img)

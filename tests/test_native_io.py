@@ -57,3 +57,36 @@ def test_prefetch_loader(rng, tmp_path):
 def test_decode_garbage_raises():
     with pytest.raises(Exception):
         nio.png_decode(b"not a png at all")
+
+
+def test_native_tiff_roundtrip(tmp_path):
+    from panorama_opticalflow_tpu.utils import native_io
+
+    if not native_io.have_native():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 53, 4), np.uint8)
+    p = str(tmp_path / "x.tif")
+    native_io.tiff_encode(p, img)
+    back = native_io.tiff_decode(p)
+    np.testing.assert_array_equal(back, img)
+    # PIL agrees with the native decoder on our own files
+    from panorama_opticalflow_tpu.utils.io import read_image_rgba
+    np.testing.assert_array_equal(read_image_rgba(p), img)
+
+
+def test_native_tiff_reads_pil_written_file(tmp_path):
+    """Interop: the native decoder must read PIL/OpenCV-style TIFFs (the
+    reference's inputs are cv::imwrite TIFFs)."""
+    from PIL import Image
+
+    from panorama_opticalflow_tpu.utils import native_io
+
+    if not native_io.have_native():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (21, 33, 4), np.uint8)
+    p = str(tmp_path / "pil.tif")
+    Image.fromarray(img).save(p)
+    np.testing.assert_array_equal(native_io.tiff_decode(p), img)
+    np.testing.assert_array_equal(native_io.read_image_rgba_fast(p), img)
