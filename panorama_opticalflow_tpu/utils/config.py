@@ -127,11 +127,22 @@ class FlowParams:
 
 
 def flow_params_by_name(name: str) -> FlowParams:
-    """Flow-algorithm factory, parity with CPU/PixFlow.hpp:459-500."""
+    """Flow-algorithm factory, parity with CPU/PixFlow.hpp:459-500.
+
+    ``pixflow_low`` / ``pixflow_search_20`` mirror the reference presets
+    exactly.  ``pixflow_low_fast`` / ``pixflow_search_20_fast`` are
+    framework extensions: a 0.8-factor pyramid (~20 levels instead of
+    ~42) halves per-level launch count and cuts pyramid work ~1.9x;
+    output is SSIM-gated against the reference binary
+    (tools/compare_reference.py --flow_alg ..._fast)."""
     if name == "pixflow_low":
         return FlowParams(max_percentage=0)
     if name == "pixflow_search_20":
         return FlowParams(max_percentage=20)
+    if name == "pixflow_low_fast":
+        return FlowParams(max_percentage=0, pyr_scale_factor=0.8)
+    if name == "pixflow_search_20_fast":
+        return FlowParams(max_percentage=20, pyr_scale_factor=0.8)
     raise ValueError(f"unrecognized flow algorithm name: {name}")
 
 

