@@ -67,9 +67,10 @@ def _build_pyramid(img: jax.Array, sizes: list[tuple[int, int]]) -> list[jax.Arr
 # per-level graph, so: group consecutive coarse levels into "rungs" that
 # share the padded shape of the rung's finest member and lax.scan over
 # them -- the level body is traced/compiled ONCE per rung.  The
-# inter-level flow upsample becomes a per-level pair of banded resize
-# matrices carried as scan inputs (ops/image.resize_axis_matrix): two
-# matmuls on the MXU, bit-identical weights to the static resize.
+# inter-level flow upsample becomes a per-level banded resize matrix,
+# materialised on device from compact 4-tap plans carried as scan
+# inputs: two matmuls on the MXU, bit-identical weights to the static
+# resize (reference form: ops/image.resize_axis_matrix).
 #
 # Padding semantics: images are edge-replicated into the pad (Sobel at
 # the valid edge is then exact BORDER_REPLICATE), alphas are zero-padded
@@ -77,8 +78,8 @@ def _build_pyramid(img: jax.Array, sizes: list[tuple[int, int]]) -> list[jax.Arr
 # ignore input padding and edge-replicate output padding.  The only
 # deviation from the unrolled path is blur/median borders at the
 # bottom/right valid edges of scanned levels seeing replicated instead
-# of reflected content -- gated by tests/test_pixflow.py's scan-vs-
-# unrolled and oracle EPE checks.
+# of reflected content -- gated by tests/test_levelscan.py's
+# scan-vs-unrolled checks and the oracle EPE/golden suites.
 
 
 def _plan_rungs(sizes: list[tuple[int, int]], params: FlowParams,
