@@ -26,8 +26,20 @@ def make_mesh(n_devices: int | None = None, axis: str = ROW_AXIS) -> Mesh:
 
 def maybe_init_distributed() -> None:
     """Multi-host bring-up (jax.distributed.initialize) when the standard
-    coordinator env vars are present; no-op on a single host."""
+    coordinator env vars are present; no-op on a single host.
+
+    On auto-detectable clusters (TPU pods, SLURM) jax infers the process
+    count/index itself; on generic clusters pass JAX_NUM_PROCESSES and
+    JAX_PROCESS_ID alongside JAX_COORDINATOR_ADDRESS
+    (tools/multiprocess_demo.py drives this path with two local
+    processes and CPU devices)."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    kw = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
