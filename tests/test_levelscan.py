@@ -117,3 +117,37 @@ def test_scanned_pair_matches_two_single_calls(rng):
         d = np.abs(np.asarray(got) - ref)
         assert d.mean() < 0.01, d.mean()
         assert (d > 0.2).mean() < 0.01, (d > 0.2).mean()
+
+
+def test_plan_rungs_invariants_fuzz():
+    """Planner invariants across random sizes/knobs: scanned levels form
+    a contiguous block [first, n-2] partitioned in order; every rung's
+    finest member is its first; lo is respected."""
+    rng = np.random.default_rng(0)
+    base = flow_params_by_name("pixflow_low")
+    for _ in range(200):
+        h = int(rng.integers(24, 2000))
+        w = int(rng.integers(24, 2000))
+        p = dataclasses.replace(
+            base,
+            scan_max_pixels=int(rng.integers(1, 1_000_000)),
+            scan_rung_levels=int(rng.integers(1, 7)),
+            scan_min_levels=int(rng.integers(1, 6)),
+            scan_coarse_levels=bool(rng.integers(0, 2)))
+        sizes = pixflow.pyramid_sizes(h, w, p)
+        lo = int(rng.integers(0, max(1, len(sizes))))
+        first, rungs = pixflow._plan_rungs(sizes, p, lo=lo)
+        flat = [i for r in rungs for i in r]
+        if not rungs:
+            assert first == len(sizes)
+            continue
+        n = len(sizes)
+        assert flat == list(range(first, n - 1))  # contiguous, ordered
+        assert first >= max(lo, 1)
+        assert len(flat) >= p.scan_min_levels
+        assert sizes[first][0] * sizes[first][1] <= p.scan_max_pixels
+        for r in rungs:
+            assert len(r) <= p.scan_rung_levels
+            # rung shape is its finest member's shape
+            assert all(sizes[r[0]][0] >= sizes[i][0]
+                       and sizes[r[0]][1] >= sizes[i][1] for i in r)
