@@ -90,3 +90,28 @@ def test_native_tiff_reads_pil_written_file(tmp_path):
     Image.fromarray(img).save(p)
     np.testing.assert_array_equal(native_io.tiff_decode(p), img)
     np.testing.assert_array_equal(native_io.read_image_rgba_fast(p), img)
+
+
+def test_native_tiff_rgb_and_gray(tmp_path):
+    """3-sample RGB and 1-sample gray TIFFs decode with opaque alpha."""
+    from PIL import Image
+
+    from panorama_opticalflow_tpu.utils import native_io
+
+    if not native_io.have_native():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (19, 27, 3), np.uint8)
+    p = str(tmp_path / "rgb.tif")
+    Image.fromarray(rgb).save(p)
+    out = native_io.tiff_decode(p)
+    np.testing.assert_array_equal(out[..., :3], rgb)
+    assert (out[..., 3] == 255).all()
+
+    grey = rng.integers(0, 256, (13, 17), np.uint8)
+    pg = str(tmp_path / "g.tif")
+    Image.fromarray(grey).save(pg)
+    outg = native_io.tiff_decode(pg)
+    np.testing.assert_array_equal(outg[..., 0], grey)
+    np.testing.assert_array_equal(outg[..., 1], grey)
+    assert (outg[..., 3] == 255).all()
