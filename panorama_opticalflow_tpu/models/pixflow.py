@@ -101,6 +101,14 @@ def _plan_rungs(sizes: list[tuple[int, int]], params: FlowParams,
         return n, []
     rungs = [list(range(i, min(i + params.scan_rung_levels, last + 1)))
              for i in range(s, last + 1, params.scan_rung_levels)]
+    fr = params.scan_fine_rung_levels
+    if fr >= 2:
+        # pair the fine unrolled span [f, s) too (compile-time lever for
+        # very large canvases; see FlowParams.scan_fine_rung_levels)
+        f = max(lo, 1)
+        fine = [list(range(i, min(i + fr, s))) for i in range(f, s, fr)]
+        if fine:
+            return f, fine + rungs
     return s, rungs
 
 

@@ -25,7 +25,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _INF = jnp.float32(jnp.inf)
 
@@ -59,24 +58,34 @@ def _strided_first_hit_x(mask: jax.Array, step: int, reverse: bool) -> jax.Array
     return d.reshape(h, wq * step)[:, :w]
 
 
-def _roll_rows_by_index(arr: jax.Array, direction: int,
-                        row_offset: int | jax.Array = 0,
-                        max_index: int | None = None) -> jax.Array:
-    """Circularly roll each row y by ``direction * (y + row_offset)``
-    columns, via binary decomposition of the shift (log2(H) fused
-    roll+select passes -- a per-row gather would be ~30x slower on TPU).
-    ``row_offset``/``max_index`` support sharded callers whose local row
-    0 is global row ``row_offset`` (indices reach max_index-1)."""
-    h = arr.shape[0]
-    y = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0) + row_offset
-    out = arr
-    k = 1
-    maxshift = 1 << int(np.ceil(np.log2(max(2, max_index or 2 * h))))
-    while k < maxshift:
-        rolled = jnp.roll(out, direction * k, axis=1)
-        out = jnp.where((y & k) != 0, rolled, out)
-        k <<= 1
-    return out
+def _shear_by_row(a: jax.Array, wc: int) -> jax.Array:
+    """out[y, x + y] = a[y, x]; output (H, wc), unsourced entries zero.
+
+    A row-dependent shift of exactly +y columns is one pad + reshape +
+    slice: flattening rows of width wc+1 row-major puts a[y, x] at flat
+    index y*(wc+1) + x = y*wc + (x + y), i.e. row y column x+y of a
+    width-wc view.  One relayout copy -- no roll chains, no gathers
+    (the previous binary-decomposed roll formulation was log2(H) fused
+    roll+select passes, whose unrolled graph wedged the TPU compiler at
+    9000-wide canvases and dominated the blend-field runtime).
+    Requires wc >= w + h - 2 so no content crosses a row boundary."""
+    h, w = a.shape
+    p = jnp.pad(a, ((0, 0), (0, wc + 1 - w)))
+    return p.reshape(-1)[: h * wc].reshape(h, wc)
+
+
+def _unshear_by_row(a: jax.Array, w: int) -> jax.Array:
+    """Inverse of _shear_by_row: out[y, x] = a[y, x + y], output (H, w)."""
+    h, wc = a.shape
+    flat = jnp.pad(a.reshape(-1), (0, h))
+    return flat.reshape(h, wc + 1)[:, :w]
+
+
+def _roll_x(a: jax.Array, shift) -> jax.Array:
+    """jnp.roll along axis 1, skipped when the shift is statically 0."""
+    if isinstance(shift, int) and shift == 0:
+        return a
+    return jnp.roll(a, shift, axis=1)
 
 
 def _shear(mask: jax.Array, sign: int,
@@ -84,23 +93,25 @@ def _shear(mask: jax.Array, sign: int,
            total_h: int | None = None) -> jax.Array:
     """Reindex so diagonals become columns.
 
-    sign=+1: out[y, x - y + (H-1)] = mask[y, x]  (conserves x - y; the
-    (+1,+1)/(-1,-1) diagonals are columns of the output).
-    sign=-1: out[y, x + y] = mask[y, x]          (conserves x + y; the
-    (+1,-1)/(-1,+1) diagonals are columns).
-    Out-of-range entries are False.  For row-sharded callers pass the
-    global ``row_offset`` of local row 0 and the global ``total_h``.
+    sign=+1: out[y, x - (y+off) + (TH-1)] = mask[y, x]  (conserves x - y;
+    the (+1,+1)/(-1,-1) diagonals are columns of the output).
+    sign=-1: out[y, x + (y+off)] = mask[y, x]           (conserves x + y;
+    the (+1,-1)/(-1,+1) diagonals are columns).
+    Out-of-range entries are False/0.  For row-sharded callers pass the
+    global ``row_offset`` of local row 0 and the global ``total_h``; the
+    offset becomes one uniform (optionally dynamic) roll on top of the
+    reshape shear.  No content ever wraps: wc = w + TH - 1 bounds every
+    shifted column (x <= w-1, y+off <= TH-1).
     """
     h, w = mask.shape
     th = total_h if total_h is not None else h
     wc = w + th - 1
-    padded = jnp.pad(mask, ((0, 0), (0, wc - w)))
     if sign > 0:
-        # shift row y right by (th-1) - (y+off): uniform roll then
-        # per-row inverse roll
-        shifted = jnp.roll(padded, th - 1, axis=1)
-        return _roll_rows_by_index(shifted, -1, row_offset, th)
-    return _roll_rows_by_index(padded, +1, row_offset, th)
+        # shift row y right by (TH-1) - (y+off): flip rows so the shift
+        # grows with the row index, shear, add the constant part, unflip
+        sheared = _shear_by_row(mask[::-1], wc)
+        return _roll_x(sheared, th - h - row_offset)[::-1]
+    return _roll_x(_shear_by_row(mask, wc), row_offset)
 
 
 def _unshear(arr: jax.Array, sign: int, w: int,
@@ -109,11 +120,9 @@ def _unshear(arr: jax.Array, sign: int, w: int,
     h = arr.shape[0]
     th = total_h if total_h is not None else h
     if sign > 0:
-        out = _roll_rows_by_index(arr, +1, row_offset, th)
-        out = jnp.roll(out, -(th - 1), axis=1)
-    else:
-        out = _roll_rows_by_index(arr, -1, row_offset, th)
-    return out[:, :w]
+        out = _roll_x(arr[::-1], -(th - h - row_offset))
+        return _unshear_by_row(out, w)[::-1]
+    return _unshear_by_row(_roll_x(arr, -row_offset), w)
 
 
 def _strided_first_hit_axis0(mask: jax.Array, step: int, reverse: bool) -> jax.Array:

@@ -50,9 +50,30 @@ from panorama_opticalflow_tpu.ops.distance import (
     _shear,
     _strided_first_hit_axis0,
     _strided_first_hit_x,
+    _unshear,
     eight_ray_min_distance,
 )
 from panorama_opticalflow_tpu.utils.config import FlowParams, StitchConfig
+
+
+def derive_level_halo(params: FlowParams, flow_sample_margin: int = 22) -> int:
+    """Exact per-level receptive radius of patch_match_level's stencil
+    chain, plus a margin for the flow-guided gradient sampling.
+
+    Chain (models/pixflow.patch_match_level): Sobel ksize-1 (1) + gradient
+    gaussian (gk//2) feeding every error eval; blurred-flow gaussian
+    (bk//2) on the incoming flow; per phase, ``iters`` one-pixel
+    propagations plus a 5x5 median (2); the final diffusion blur (bk//2).
+    The only unbounded term is the warp's |flow_y| reach (clamped to the
+    halo extent -- documented deviation (b) in the module docstring),
+    covered by ``flow_sample_margin`` and gated by the tiled==untiled
+    EPE/SSIM tests."""
+    grad = 1 + params.gradient_blur_kernel_width // 2
+    bk = params.blurred_flow_kernel_width // 2
+    phases = params.relax_phases * (params.relax_iters_per_phase
+                                    + params.median_blur_size // 2)
+    return grad + bk + phases + bk + flow_sample_margin
+
 
 @dataclasses.dataclass(frozen=True)
 class TileConfig:
@@ -61,13 +82,17 @@ class TileConfig:
     min_tiled_rows: levels whose local row count would drop below this
       are computed replicated (they are tiny: total work of all levels
       below any fixed size is a geometrically-vanishing fraction).
-    level_halo: per-level halo = blurred-flow blur (7) + relax
-      propagation (#iters) + 2 medians (4) + diffusion blur (7) +
-      gradient setup (2) + |flow_y| sampling margin.
+    level_halo: per-level halo; must cover derive_level_halo(params)
+      (asserted by the tiled solvers).  The default matches the default
+      FlowParams schedule: 2 + 7 + 2*(3+2) + 7 + 22 = 48.
     """
 
     min_tiled_rows: int = 48
     level_halo: int = 48
+
+    @classmethod
+    def for_params(cls, params: FlowParams, **kw) -> "TileConfig":
+        return cls(level_halo=derive_level_halo(params), **kw)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -223,10 +248,6 @@ def _tiled_eight_ray(mask: jax.Array, step: int, max_i: float,
     def keep(dist):
         return jnp.where(dist < max_i, dist, inf)
 
-    # global row index of local row 0
-    row0 = d * h
-    g_rows = jnp.arange(h)[:, None] + row0  # (h, 1) global row ids
-
     # ---- straight x (row-local) ----
     no_col0 = mask.at[:, 0].set(False)
     d_xp = keep(_strided_first_hit_x(mask, step, reverse=False))
@@ -257,10 +278,6 @@ def _tiled_eight_ray(mask: jax.Array, step: int, max_i: float,
     sq2 = diag_scale
     ws = w + hp - 1
     wcs = _cdiv(ws, n)
-    x_ids = jnp.arange(ws)[None, :]
-
-    from panorama_opticalflow_tpu.ops.distance import _unshear
-
     def unshear(dist_rows, sign):
         # dist_rows: (h, n*wcs) row-sharded sheared distances; roll-based
         # unshear with the shard's global row offset
@@ -353,6 +370,8 @@ def tiled_compute_optical_flow(
     """
     h_loc, w = rgba0.shape[:2]
     assert h_loc * n >= h_global
+    assert tc.level_halo >= derive_level_halo(params, flow_sample_margin=0), \
+        (tc.level_halo, derive_level_halo(params, flow_sample_margin=0))
     dh = int(h_global * params.downscale_factor)
     dw = int(w * params.downscale_factor)
 
@@ -470,6 +489,8 @@ def tiled_compute_optical_flow_pair(
     """
     h_loc, w = rgba0.shape[:2]
     assert h_loc * n >= h_global
+    assert tc.level_halo >= derive_level_halo(params, flow_sample_margin=0), \
+        (tc.level_halo, derive_level_halo(params, flow_sample_margin=0))
     dh = int(h_global * params.downscale_factor)
     dw = int(w * params.downscale_factor)
 
@@ -606,16 +627,10 @@ def _tiled_generate_blend(canvas_map: jax.Array, cfg: StitchConfig,
     if k_sel >= 2:
         blurred = _tiled_stencil(
             blend, lambda e: im.box_blur(e, k_sel, k_sel), k_sel, axis)
-        # selection grid from global block top-left pixels
+        # selection grid from global block top-left pixels: sample the
+        # local grid rows, all_gather, and rebuild the global grid
         hq, wq = h_global // step, w // step
-        grid_rows_per_dev = _cdiv(hq, n)
-        # local sample of merged_dis at global rows q*step owned by me
         d_idx = jax.lax.axis_index(axis)
-        qy_local = jnp.arange(grid_rows_per_dev)
-        gq = qy_local + 0  # grid rows gathered below
-        # gather my grid rows: global row q*step -> local row q*step - d*h
-        my_q0 = (d_idx * h_loc + step - 1) // step  # first grid row on me...
-        # simpler: compute grid over padded rows then all_gather
         rows = jnp.arange(0, h_loc, step)
         sel_rows = merged_dis[rows[:, None], jnp.arange(0, wq * step, step)[None, :]]
         # rows global ids
@@ -699,10 +714,10 @@ def _tiled_gather(canvas_map, image_l, image_r, merged, cfg, axis, h_global):
         sh1, sh1e = _shear(m, +1), _shear(no_both, +1)
         sh2 = _shear(no_col0, -1)
         sh2e = _shear(m_nr0, -1)
-        d_dr = _unshear_local(keep(_first_hit_steps(sh1, 0, False)), +1, w)
-        d_ul = _unshear_local(keep(_first_hit_steps(sh1e, 0, True)), +1, w)
-        d_dl = _unshear_local(keep(_first_hit_steps(sh2, 0, False)), -1, w)
-        d_ur = _unshear_local(keep(_first_hit_steps(sh2e, 0, True)), -1, w)
+        d_dr = _unshear(keep(_first_hit_steps(sh1, 0, False)), +1, w)
+        d_ul = _unshear(keep(_first_hit_steps(sh1e, 0, True)), +1, w)
+        d_dl = _unshear(keep(_first_hit_steps(sh2, 0, False)), -1, w)
+        d_ur = _unshear(keep(_first_hit_steps(sh2e, 0, True)), -1, w)
         out = jnp.minimum(jnp.minimum(d_xp, d_xm), jnp.minimum(d_yp, d_ym))
         for dd in (d_dr, d_ul, d_dl, d_ur):
             out = jnp.minimum(out, dd)
@@ -725,9 +740,6 @@ def _tiled_gather(canvas_map, image_l, image_r, merged, cfg, axis, h_global):
     out = jnp.where(is_merged[..., None], merged, out)
     out = jnp.where((code == 150)[..., None], hole, out)
     return out
-
-
-from panorama_opticalflow_tpu.ops.distance import _unshear as _unshear_local  # noqa: E402
 
 
 def _tiled_stitch_pair_body(image_l, image_r, cfg: StitchConfig, axis: str,

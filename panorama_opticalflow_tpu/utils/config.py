@@ -27,7 +27,6 @@ class FlowParams:
     horizontal_regularization_coef: float = 0.01
     gradient_step_size: float = 0.5
     downscale_factor: float = 0.5
-    directional_regularization_coef: float = 0.0
     max_percentage: int = 0
 
     # Solver constants (CPU/PixFlow.hpp:32-44)
@@ -110,6 +109,14 @@ class FlowParams:
     scan_max_pixels: int = 448 * 1024
     scan_rung_levels: int = 4
     scan_min_levels: int = 3
+    # Additionally pair the *fine* unrolled levels (area > scan_max_pixels,
+    # never the finest level) into scanned rungs of this many levels --
+    # the remaining compile-time lever for very large canvases: each pair
+    # roughly halves that span's XLA graph at ~+10% of its runtime work
+    # (the coarser member computes at the finer member's padded shape,
+    # 1/0.81 area).  1 = off (default: the fine levels dominate runtime,
+    # so they stay exact-shaped unless compile time forces pairing).
+    scan_fine_rung_levels: int = 1
     # Relax kernel tile (rows, cols).  Bigger tiles amortise the halo
     # overlap (the (64, 256) tile recomputes ~2x; (64, 512) ~1.7x) at
     # the cost of VMEM scratch; bounded by the 16 MB scoped-vmem limit.
