@@ -142,15 +142,25 @@ def flow_params_by_name(name: str) -> FlowParams:
     ~42) halves per-level launch count and cuts pyramid work ~1.9x;
     output is SSIM-gated against the reference binary
     (tools/compare_reference.py --flow_alg ..._fast)."""
-    if name == "pixflow_low":
-        return FlowParams(max_percentage=0)
-    if name == "pixflow_search_20":
-        return FlowParams(max_percentage=20)
-    if name == "pixflow_low_fast":
-        return FlowParams(max_percentage=0, pyr_scale_factor=0.8)
-    if name == "pixflow_search_20_fast":
-        return FlowParams(max_percentage=20, pyr_scale_factor=0.8)
-    raise ValueError(f"unrecognized flow algorithm name: {name}")
+    base, sep, mod = name.partition("+")
+    if base == "pixflow_low":
+        p = FlowParams(max_percentage=0)
+    elif base == "pixflow_search_20":
+        p = FlowParams(max_percentage=20)
+    elif base == "pixflow_low_fast":
+        p = FlowParams(max_percentage=0, pyr_scale_factor=0.8)
+    elif base == "pixflow_search_20_fast":
+        p = FlowParams(max_percentage=20, pyr_scale_factor=0.8)
+    else:
+        raise ValueError(f"unrecognized flow algorithm name: {name}")
+    if sep:
+        # compile-time modifier: "<preset>+pairK" pairs the fine unrolled
+        # pyramid levels into K-level scan rungs (see scan_fine_rung_levels)
+        if mod.startswith("pair") and mod[4:].isdigit():
+            p = dataclasses.replace(p, scan_fine_rung_levels=int(mod[4:]))
+        else:
+            raise ValueError(f"unrecognized flow algorithm modifier: {mod}")
+    return p
 
 
 @dataclasses.dataclass(frozen=True)
