@@ -19,7 +19,10 @@ import jax
 import jax.numpy as jnp
 
 from panorama_opticalflow_tpu.ops import image as im
-from panorama_opticalflow_tpu.ops.distance import eight_ray_min_distance
+from panorama_opticalflow_tpu.ops.distance import (
+    eight_ray_min_distance,
+    eight_ray_unit_min_distance,
+)
 from panorama_opticalflow_tpu.utils.config import StitchConfig
 
 
@@ -199,10 +202,8 @@ def gather_composite(
     r = cfg.gather_search_radius
 
     def hole_from(codes, img_l, img_r):
-        d_l = eight_ray_min_distance(codes == 100, 1, float(r),
-                                     diag_scale=1.0)
-        d_r = eight_ray_min_distance(codes == 50, 1, float(r),
-                                     diag_scale=1.0)
+        d_l = eight_ray_unit_min_distance(codes == 100, r)
+        d_r = eight_ray_unit_min_distance(codes == 50, r)
         take_l = d_l <= d_r  # first-found priority: L checked first each i
         found = jnp.isfinite(jnp.minimum(d_l, d_r))
         hole_black = jnp.array([0, 0, 0, 255], jnp.uint8)

@@ -137,6 +137,66 @@ def _strided_first_hit_axis0(mask: jax.Array, step: int, reverse: bool) -> jax.A
     return d.reshape((hq * step,) + mask.shape[1:])[:h]
 
 
+def _shift_inf(a: jax.Array, dy: int, dx: int) -> jax.Array:
+    """out[y, x] = a[y + dy, x + dx]; +inf outside the array."""
+    h, w = a.shape
+    p = jnp.pad(a, ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))),
+                constant_values=jnp.inf)
+    return jax.lax.slice(p, (max(dy, 0), max(dx, 0)),
+                         (max(dy, 0) + h, max(dx, 0) + w))
+
+
+def bounded_first_hit(mask: jax.Array, radius: int, dy: int, dx: int
+                      ) -> jax.Array:
+    """Steps to the first True of ``mask`` along unit direction
+    (dy, dx), visiting i = 0, 1, 2, ... with i < radius; +inf where no
+    hit.  Rays stop at the array edge.
+
+    Pointer-doubling min-plus: after the k-th pass d holds the exact
+    first-hit distance within [0, 2^k) steps -- ceil(log2(radius))
+    shift+add+min passes, a tiny graph (the scan+shear formulation at
+    unit stride builds full-canvas-length scan chains the remote TPU
+    compiler chokes on, and does O(W) work for an O(radius) search).
+    """
+    d = jnp.where(mask, jnp.float32(0), _INF)
+    k = 1
+    while k < radius:
+        d = jnp.minimum(d, _shift_inf(d, dy * k, dx * k) + k)
+        k <<= 1
+    return jnp.where(d < radius, d, _INF)
+
+
+def eight_ray_unit_min_distance(
+    mask: jax.Array, radius: int, exclude_borders: bool = True,
+    no_col0: jax.Array | None = None, no_row0: jax.Array | None = None,
+    no_both: jax.Array | None = None,
+) -> jax.Array:
+    """Min raw-step distance to a True pixel along the reference's 8
+    rays at unit stride, bounded by ``radius`` (Gather's hole search,
+    CPU/StitchTool.cpp:75-94: straight and diagonal rays both count raw
+    steps).  Boundary semantics match eight_ray_min_distance(mask, 1,
+    radius, diag_scale=1.0): candidates at column 0 are invisible to -x
+    rays and at row 0 to -y rays.  Sharded callers pre-apply *global*
+    exclusions and pass the per-direction masks explicitly.
+    """
+    mask = jnp.asarray(mask)
+    if exclude_borders:
+        no_col0 = mask.at[:, 0].set(False)
+        no_row0 = mask.at[0, :].set(False)
+        no_both = no_col0.at[0, :].set(False)
+    else:
+        no_col0 = mask if no_col0 is None else no_col0
+        no_row0 = mask if no_row0 is None else no_row0
+        no_both = mask if no_both is None else no_both
+
+    out = bounded_first_hit(mask, radius, 0, 1)
+    for m, dy, dx in ((no_col0, 0, -1), (mask, 1, 0), (no_row0, -1, 0),
+                      (mask, 1, 1), (no_both, -1, -1),
+                      (no_col0, 1, -1), (no_row0, -1, 1)):
+        out = jnp.minimum(out, bounded_first_hit(m, radius, dy, dx))
+    return out
+
+
 def eight_ray_min_distance(
     mask: jax.Array, step: int, max_i: float, diag_scale: float | None = None,
     exclude_borders: bool = True,

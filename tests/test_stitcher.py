@@ -37,6 +37,20 @@ def test_eight_ray_distance_gather_scale(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("radius", [1, 2, 8, 100])
+def test_eight_ray_unit_bounded_matches_scan(rng, radius):
+    """The pointer-doubling hole search (gather_composite's radius-
+    bounded formulation) must be exactly the unit-stride scan field."""
+    from panorama_opticalflow_tpu.ops.distance import (
+        eight_ray_unit_min_distance)
+
+    mask = rng.random((33, 41)) < 0.06
+    ours = np.asarray(eight_ray_unit_min_distance(mask, radius))
+    ref = np.asarray(eight_ray_min_distance(mask, 1, float(radius),
+                                            diag_scale=1.0))
+    np.testing.assert_array_equal(ours, ref)
+
+
 def test_match_images_and_overlap(rng):
     l, r = _synthetic_pair(rng)
     m = np.asarray(stitcher.match_images(l, r))
