@@ -22,7 +22,44 @@ from panorama_opticalflow_tpu.ops import relax_fast as rf  # noqa: E402
 from panorama_opticalflow_tpu.utils.config import flow_params_by_name  # noqa: E402
 
 
+def check_shardmap():
+    """Production multi-chip configuration smoke on real hardware: a
+    1-device mesh runs tiled_stitch_pair with the Pallas kernels enabled
+    (use_pallas + pallas_min_pixels=0), i.e. kernels INSIDE shard_map
+    with halo-exchange collectives compiled by the TPU backend.  Gated
+    against the untiled stitch_pair on the same inputs."""
+    from panorama_opticalflow_tpu.models import pipeline
+    from panorama_opticalflow_tpu.parallel import tiled
+    from panorama_opticalflow_tpu.parallel.mesh import make_mesh
+    from panorama_opticalflow_tpu.utils import io as pio
+    from panorama_opticalflow_tpu.utils.config import StitchConfig
+    from panorama_opticalflow_tpu.utils.metrics import ssim
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    # at this size the fine flow levels exceed pallas_min_pixels, so the
+    # kernels engage with the stock preset
+    h, w = 512, 1024
+    photos, _ = pio.synthesize_fisheye_set(h, w, n=2, seed=1, with_top=False)
+    l, r = (jnp.asarray(p) for p in photos)
+    cfg = StitchConfig(flow_alg="pixflow_low")
+    tc = tiled.TileConfig(
+        min_tiled_rows=32,
+        level_halo=tiled.derive_level_halo(cfg.flow_params,
+                                           flow_sample_margin=0))
+
+    mesh = make_mesh(1)
+    out = np.asarray(tiled.tiled_stitch_pair(l, r, cfg, mesh, "y", tc))
+    ref = np.asarray(pipeline.stitch_pair(l, r, cfg))
+    s = ssim(out[..., :3].astype(np.float32), ref[..., :3].astype(np.float32))
+    print(f"tiled_stitch_pair (1-dev mesh, Pallas in shard_map) vs untiled: "
+          f"SSIM {s:.4f} {'OK' if s >= 0.995 else 'FAIL'}")
+
+
 def main():
+    if "--shardmap" in sys.argv:
+        check_shardmap()
+        return
+
     rng = np.random.default_rng(0)
     H, W = 512, 1024
 
