@@ -82,8 +82,9 @@ class TileConfig:
       are computed replicated (they are tiny: total work of all levels
       below any fixed size is a geometrically-vanishing fraction).
     level_halo: per-level halo; must cover derive_level_halo(params)
-      (asserted by the tiled solvers).  The default matches the default
-      FlowParams schedule: 2 + 7 + 2*(3+2) + 7 + 22 = 48.
+      (asserted by the tiled solvers).  The default covers the default
+      FlowParams schedule (2 + 7 + 2*(2+2) + 7 = 24 hard radius) with
+      24 rows of |flow_y| sampling margin.
     """
 
     min_tiled_rows: int = 48

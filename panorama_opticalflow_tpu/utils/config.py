@@ -52,12 +52,14 @@ class FlowParams:
     # ``relax_phases`` phases of ``relax_iters_per_phase`` Jacobi iterations,
     # with a 5x5 median filter after each phase (the CPU build medians after
     # each sweep, CPU/PixFlow.hpp:325,338).
-    # Measured fidelity knob (tools-assisted sweep, round 1): vs the
+    # Measured fidelity knob (tools-assisted sweeps, rounds 1-2): vs the
     # sequential oracle, 2 phases x 5 iters scores EPE 0.115/0.049 on
     # the synthetic gates; 2 x 3 scores 0.116/0.056 at 40% less relax
-    # work.  The e2e SSIM and tiled==untiled gates hold at 2 x 3.
+    # work; 2 x 2 scores EPE 0.126 vs 0.127 for 2 x 3 on the round-2
+    # gates with the reference-binary golden SSIM unchanged (0.9988) --
+    # another 33% off the dominant relax stage at the 36 MP headline.
     relax_phases: int = 2
-    relax_iters_per_phase: int = 3
+    relax_iters_per_phase: int = 2
     # The coarsest level starts from zero (or search) init, where the
     # sequential sweeps' Gauss-Seidel cascade is worth O(width) descent
     # steps; Jacobi needs a higher count to match.  The level is tiny
@@ -71,7 +73,12 @@ class FlowParams:
     # enough for the exact path); "exact" uses per-candidate bilinear
     # gathers everywhere (reference-faithful, used by oracle tests).
     relax_impl: str = "fast"
-    fast_window: int = 3
+    # Hat-window half-width of the bounded-residual sampling.  Per-phase
+    # warp recentring keeps |flow - f_base| subpixel on real inputs, so
+    # D=2 is bit-identical to D=3 on every fidelity gate (round-2
+    # measurement) while cutting the relax kernel's separable passes by
+    # (2D+1): 7 -> 5 taps (~29% of its compute).
+    fast_window: int = 2
     # Reuse the accepted propagation candidate's sample (tracked through
     # pass A) as the descent residual instead of re-sampling at the
     # accepted flow -- removes one of the three y-passes in pass B

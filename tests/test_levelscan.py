@@ -85,7 +85,7 @@ def test_plan_rungs_partition():
 
 
 def test_scanned_descent_close_to_unrolled(rng):
-    i0, i1 = _smooth_pair(rng, 160, 256)
+    i0, i1 = _smooth_pair(rng, 120, 176)
     base = flow_params_by_name("pixflow_low")
     p_scan = dataclasses.replace(base, scan_max_pixels=10**9)
     p_unroll = dataclasses.replace(base, scan_coarse_levels=False)
