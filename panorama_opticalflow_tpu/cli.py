@@ -141,6 +141,9 @@ def main(argv=None) -> None:
                         help="pixflow_low or pixflow_search_20")
         sp.add_argument("--debug_dump", default="",
                         help="directory for intermediate/flow-vis dumps")
+        sp.add_argument("--profile_dir", default="",
+                        help="write a jax.profiler trace per stage "
+                             "(TensorBoard/XProf format) into this dir")
 
     sp6 = sub.add_parser("stitch6", help="6-input iterative stitch")
     common(sp6)
@@ -164,6 +167,9 @@ def main(argv=None) -> None:
     sps.set_defaults(fn=cmd_synth)
 
     args = p.parse_args(argv)
+    if getattr(args, "profile_dir", ""):
+        # StageTimer wraps each stage in jax.profiler.trace when set
+        os.environ["PANOSTITCH_TRACE_DIR"] = args.profile_dir
     args.fn(args)
 
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from panorama_opticalflow_tpu.ops import image as im
 from panorama_opticalflow_tpu.ops.distance import (
     eight_ray_min_distance,
-    eight_ray_unit_min_distance,
+    two_class_hole_search,
 )
 from panorama_opticalflow_tpu.utils.config import StitchConfig
 
@@ -202,10 +202,8 @@ def gather_composite(
     r = cfg.gather_search_radius
 
     def hole_from(codes, img_l, img_r):
-        d_l = eight_ray_unit_min_distance(codes == 100, r)
-        d_r = eight_ray_unit_min_distance(codes == 50, r)
-        take_l = d_l <= d_r  # first-found priority: L checked first each i
-        found = jnp.isfinite(jnp.minimum(d_l, d_r))
+        # one class-encoded int16 doubling field; L wins distance ties
+        found, take_l = two_class_hole_search(codes == 100, codes == 50, r)
         hole_black = jnp.array([0, 0, 0, 255], jnp.uint8)
         return jnp.where(found[..., None],
                          jnp.where(take_l[..., None], img_l, img_r),

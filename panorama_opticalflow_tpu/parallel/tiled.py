@@ -50,7 +50,7 @@ from panorama_opticalflow_tpu.ops.distance import (
     _strided_first_hit_axis0,
     _strided_first_hit_x,
     _unshear,
-    eight_ray_unit_min_distance,
+    two_class_hole_search,
 )
 from panorama_opticalflow_tpu.utils.config import FlowParams, StitchConfig
 
@@ -687,31 +687,14 @@ def _tiled_gather(canvas_map, image_l, image_r, merged, cfg, axis, h_global):
     code_l = jnp.where(live, code, 255)
 
     ext = _exchange_rows(code_l, r, axis, fill=255)
+    # reference boundary semantics: GLOBAL row 0 invisible to -y rays
+    # (local col 0 is global col 0, the helper's default)
     g_rows_ext = jnp.arange(-r, h_loc + r)[:, None] + d * h_loc
-
-    def masked(target):
-        m = ext == target
-        # reference boundary semantics: global row 0 invisible to -y rays,
-        # col 0 to -x rays; here row/col masking is pre-applied and the
-        # op-internal exclusions are disabled.
-        m_nr0 = jnp.where(g_rows_ext == 0, False, m)
-        return m, m_nr0
-
-    def dist(target):
-        m, m_nr0 = masked(target)
-        no_col0 = m.at[:, 0].set(False)  # local col 0 IS global col 0
-        w = m.shape[1]
-        no_both = jnp.where(jnp.arange(w)[None, :] == 0, False, m_nr0)
-        out = eight_ray_unit_min_distance(m, r, exclude_borders=False,
-                                          no_col0=no_col0, no_row0=m_nr0,
-                                          no_both=no_both)
-        return _crop_rows(out, r)
-
-    d_l = dist(100)
-    d_r = dist(50)
-
-    take_l = d_l <= d_r
-    found = jnp.isfinite(jnp.minimum(d_l, d_r))
+    row0 = jnp.broadcast_to(g_rows_ext == 0, ext.shape)
+    found, take_l = two_class_hole_search(ext == 100, ext == 50, r,
+                                          row0_excluded=row0)
+    found = _crop_rows(found, r)
+    take_l = _crop_rows(take_l, r)
     hole_black = jnp.array([0, 0, 0, 255], jnp.uint8)
     hole = jnp.where(found[..., None],
                      jnp.where(take_l[..., None], image_l, image_r),

@@ -38,6 +38,24 @@ def test_eight_ray_distance_gather_scale(rng):
 
 
 @pytest.mark.parametrize("radius", [1, 2, 8, 100])
+def test_two_class_hole_search_matches_two_fields(rng, radius):
+    """The fused int16 class-encoded field must reproduce the two-field
+    d_l <= d_r decision exactly, including L-wins-ties."""
+    from panorama_opticalflow_tpu.ops.distance import (
+        eight_ray_unit_min_distance, two_class_hole_search)
+
+    mask_l = rng.random((33, 41)) < 0.05
+    mask_r = (rng.random((33, 41)) < 0.05) & ~mask_l
+    d_l = np.asarray(eight_ray_unit_min_distance(mask_l, radius))
+    d_r = np.asarray(eight_ray_unit_min_distance(mask_r, radius))
+    found, take_l = (np.asarray(a) for a in
+                     two_class_hole_search(mask_l, mask_r, radius))
+    np.testing.assert_array_equal(found,
+                                  np.isfinite(np.minimum(d_l, d_r)))
+    np.testing.assert_array_equal(take_l[found], (d_l <= d_r)[found])
+
+
+@pytest.mark.parametrize("radius", [1, 2, 8, 100])
 def test_eight_ray_unit_bounded_matches_scan(rng, radius):
     """The pointer-doubling hole search (gather_composite's radius-
     bounded formulation) must be exactly the unit-stride scan field."""

@@ -52,6 +52,26 @@ def test_init_runtime_idempotent():
     runtime.init_runtime(verbose=False, compilation_cache=False)
 
 
+def test_stage_timer_profiler_trace(tmp_path, monkeypatch):
+    """PANOSTITCH_TRACE_DIR (CLI --profile_dir) wraps each stage in a
+    jax.profiler trace; the trace directory must be produced with
+    TensorBoard/XProf event data inside (SURVEY section 5 tracing)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("PANOSTITCH_TRACE_DIR", str(tmp_path))
+    t = runtime.StageTimer()
+    with t.stage("TraceMe"):
+        jnp.square(jnp.arange(16.0)).block_until_ready()
+    stage_dir = tmp_path / "TraceMe"
+    assert stage_dir.is_dir()
+    files = [os.path.join(r, f) for r, _, fs in os.walk(stage_dir)
+             for f in fs]
+    assert files, "profiler produced no trace files"
+
+
 def test_flow_visualizers_behaviour():
     """Behavioural checks of the three visualisers
     (CPU/OpticalFlow.cpp:147-204 semantics)."""
