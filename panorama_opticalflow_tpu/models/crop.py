@@ -29,8 +29,14 @@ import jax.numpy as jnp
 from panorama_opticalflow_tpu.ops import image as im
 from panorama_opticalflow_tpu.utils.config import StitchConfig
 
-# static width buckets (fractions of the canvas width)
-_BUCKETS = (0.25, 0.375, 0.5, 0.75, 1.0)
+# Window widths are quantised up to multiples of this (and floored at
+# 2x) so jit compiles a small set of shapes that recur across pairs and
+# runs.  256 keeps the waste bounded by 255 columns; the previous coarse
+# fractional ladder (0.25/0.375/0.5/... of the canvas) overshot the
+# 9000x4000 headline's 3477-column requirement to 4608 -- 25% of the
+# window area (and of the flows/blend/combine stages) computed for
+# nothing.
+_WIDTH_QUANTUM = 256
 
 
 @jax.jit
@@ -60,12 +66,8 @@ def circular_interval(cols: np.ndarray, margin: int) -> tuple[int, int] | None:
 
 
 def choose_bucket(length: int, w: int) -> int:
-    for frac in _BUCKETS:
-        bw = int(w * frac)
-        if bw >= length:
-            # round to lane multiples for clean TPU layouts
-            return min(w, -(-bw // 128) * 128)
-    return w
+    bw = max(2 * _WIDTH_QUANTUM, -(-length // _WIDTH_QUANTUM) * _WIDTH_QUANTUM)
+    return w if bw >= w else bw
 
 
 def crop_window(canvas_map_np: np.ndarray | jax.Array, cfg: StitchConfig,

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from panorama_opticalflow_tpu.ops import image as im
-from panorama_opticalflow_tpu.ops.warp import sample_nearest_wrap
+from panorama_opticalflow_tpu.ops.warp import (sample_nearest_wrap,
+                                               sample_nearest_wrap_tiled)
 from panorama_opticalflow_tpu.models.pixflow import compute_optical_flow_pair
 from panorama_opticalflow_tpu.utils.config import StitchConfig
 
@@ -25,6 +26,16 @@ from panorama_opticalflow_tpu.utils.config import StitchConfig
 K_COLOR_DIFF_COEF = 10.0
 K_SOFTMAX_SHARPNESS = 10.0
 K_FLOW_MAG_COEF = 100.0
+
+# Canvases at least this large take the gather-free tiled sampler (the
+# XLA gather path runs ~100x below VPU throughput on TPU and was 226 of
+# the 258 ms finish stage at the 36 MP headline); smaller canvases --
+# including the per-pixel oracle test shapes -- keep the exact gather.
+# The tiled sampler's residual-clamp deviations are gated by
+# tests/test_pipeline.py::test_combine_tiled_sampler_close_to_exact and
+# the default reference-binary golden (900x400 exercises this path).
+TILED_SAMPLER_MIN_H = 256
+TILED_SAMPLER_MIN_W = 512
 
 
 class NovelViewFlows(NamedTuple):
@@ -62,12 +73,15 @@ def combine_novel_views(
     CPU/OpticalFlow.cpp:45-46).  Transparent where either sample has zero
     alpha; otherwise a ghost-gated softmax mix.
     """
-    w = image_l.shape[1]
+    h, w = image_l.shape[:2]
     blend_r = blend
     blend_l = 1.0 - blend_r
 
-    color_l = sample_nearest_wrap(image_l, flow_r_to_l, blend_r).astype(jnp.float32)
-    color_r = sample_nearest_wrap(image_r, flow_l_to_r, blend_l).astype(jnp.float32)
+    sampler = (sample_nearest_wrap_tiled
+               if h >= TILED_SAMPLER_MIN_H and w >= TILED_SAMPLER_MIN_W
+               else sample_nearest_wrap)
+    color_l = sampler(image_l, flow_r_to_l, blend_r).astype(jnp.float32)
+    color_r = sampler(image_r, flow_l_to_r, blend_l).astype(jnp.float32)
 
     mag_lr = jnp.sqrt(flow_l_to_r[..., 0] ** 2 + flow_l_to_r[..., 1] ** 2) / w
     mag_rl = jnp.sqrt(flow_r_to_l[..., 0] ** 2 + flow_r_to_l[..., 1] ** 2) / w

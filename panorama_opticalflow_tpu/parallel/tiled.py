@@ -83,8 +83,8 @@ class TileConfig:
       below any fixed size is a geometrically-vanishing fraction).
     level_halo: per-level halo; must cover derive_level_halo(params)
       (asserted by the tiled solvers).  The default covers the default
-      FlowParams schedule (2 + 7 + 2*(2+2) + 7 = 24 hard radius) with
-      24 rows of |flow_y| sampling margin.
+      FlowParams schedule (2 + 7 + 1*(3+2) + 7 = 21 hard radius) with
+      27 rows of |flow_y| sampling margin.
     """
 
     min_tiled_rows: int = 48

@@ -56,10 +56,17 @@ class FlowParams:
     # sequential oracle, 2 phases x 5 iters scores EPE 0.115/0.049 on
     # the synthetic gates; 2 x 3 scores 0.116/0.056 at 40% less relax
     # work; 2 x 2 scores EPE 0.126 vs 0.127 for 2 x 3 on the round-2
-    # gates with the reference-binary golden SSIM unchanged (0.9988) --
-    # another 33% off the dominant relax stage at the 36 MP headline.
-    relax_phases: int = 2
-    relax_iters_per_phase: int = 2
+    # gates with the reference-binary golden SSIM unchanged (0.9988).
+    # The single-phase default mirrors the reference's own GPU schedule
+    # -- 10 relax rounds, then ONE median, then diffusion per level
+    # (GPU/PixFlow_GPU.cu:273-295), vs the CPU build's median after each
+    # of 2 sweeps -- and halves the per-level warp+median cost (the two
+    # biggest non-relax items at the 36 MP headline).  Sweep
+    # (tools/sweep_schedule.py): 1x3 scores oracle EPE 0.7208 vs 0.7302
+    # for 2x2 on the shifted-pair gate, reference-binary golden SSIM
+    # unchanged at 0.9988 (1x4/1x2 also hold: 0.7203/0.7183).
+    relax_phases: int = 1
+    relax_iters_per_phase: int = 3
     # The coarsest level starts from zero (or search) init, where the
     # sequential sweeps' Gauss-Seidel cascade is worth O(width) descent
     # steps; Jacobi needs a higher count to match.  The level is tiny

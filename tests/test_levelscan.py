@@ -115,7 +115,12 @@ def test_scanned_pair_matches_two_single_calls(rng):
         jnp.asarray(i0), jnp.asarray(i1), p, "left", "right")
     for got, ref in ((g01, f01), (g10, f10)):
         d = np.abs(np.asarray(got) - ref)
-        assert d.mean() < 0.01, d.mean()
+        # mean tolerance 0.02: the single-phase default schedule keeps
+        # one median per level (vs 2), so isolated ulp-flip pixels
+        # survive ~a level longer before a median reabsorbs them
+        # (measured 0.012 at 1x3 vs 0.008 at 2x2); the outlier gate
+        # below still catches any systematic divergence.
+        assert d.mean() < 0.02, d.mean()
         assert (d > 0.2).mean() < 0.01, (d > 0.2).mean()
 
 

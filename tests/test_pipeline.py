@@ -94,3 +94,73 @@ def test_stitch_pair_matches_full_oracle_pipeline(rng):
 
     s = ssim(ours, ref)
     assert s >= 0.98, s
+
+
+def test_tiled_sampler_exact_on_constant_flow(rng):
+    """sample_nearest_wrap_tiled must be BIT-EXACT vs the gather sampler
+    for constant flows (residuals vanish after the per-tile mean),
+    including samples that wrap across the x seam."""
+    from panorama_opticalflow_tpu.ops.warp import (sample_nearest_wrap,
+                                                   sample_nearest_wrap_tiled)
+
+    h, w = 192, 384
+    img = rng.integers(0, 256, (h, w, 4), np.uint8)
+    for fx, fy in ((7.3, -2.6), (-5.9, 4.1), (200.0, 0.0), (-200.0, 3.0)):
+        flow = np.broadcast_to(np.array([fx, fy], np.float32), (h, w, 2))
+        exact = np.asarray(sample_nearest_wrap(
+            jnp.asarray(img), jnp.asarray(flow), 1.0))
+        tiled = np.asarray(sample_nearest_wrap_tiled(
+            jnp.asarray(img), jnp.asarray(flow), 1.0, max_off=256))
+        np.testing.assert_array_equal(tiled, exact, err_msg=f"{fx},{fy}")
+
+
+def test_tiled_sampler_close_to_exact_on_smooth_flow(rng):
+    """On smooth (median/blur-class) flows with a per-pixel blend factor
+    -- what combine_novel_views actually samples with -- the tiled
+    sampler must agree with the exact gather except at rare
+    residual-clamp pixels."""
+    import cv2
+
+    from panorama_opticalflow_tpu.ops.warp import (sample_nearest_wrap,
+                                                   sample_nearest_wrap_tiled)
+
+    h, w = 256, 512
+    img = rng.integers(0, 256, (h, w, 4), np.uint8)
+    flow = cv2.GaussianBlur(
+        rng.normal(0, 12, (h, w, 2)).astype(np.float32), (0, 0), 24)
+    t = np.tile(np.linspace(0, 1, w, dtype=np.float32), (h, 1))
+    exact = np.asarray(sample_nearest_wrap(
+        jnp.asarray(img), jnp.asarray(flow), jnp.asarray(t)))
+    tiled = np.asarray(sample_nearest_wrap_tiled(
+        jnp.asarray(img), jnp.asarray(flow), jnp.asarray(t)))
+    mismatch = (tiled != exact).any(axis=-1).mean()
+    assert mismatch < 0.02, mismatch
+
+
+def test_combine_large_canvas_uses_tiled_sampler_consistently(rng):
+    """combine_novel_views at production sizes (tiled sampler) must stay
+    close to the small-canvas exact path on identical inputs."""
+    import cv2
+
+    from panorama_opticalflow_tpu.models.novel_view import (
+        TILED_SAMPLER_MIN_H, TILED_SAMPLER_MIN_W)
+
+    h, w = TILED_SAMPLER_MIN_H, TILED_SAMPLER_MIN_W
+    il = rng.integers(0, 256, (h, w, 4), np.uint8)
+    ir = rng.integers(0, 256, (h, w, 4), np.uint8)
+    il[..., 3] = 255
+    ir[..., 3] = 255
+    flr = cv2.GaussianBlur(
+        rng.normal(0, 6, (h, w, 2)).astype(np.float32), (0, 0), 16)
+    frl = cv2.GaussianBlur(
+        rng.normal(0, 6, (h, w, 2)).astype(np.float32), (0, 0), 16)
+    blend = np.tile(np.linspace(0, 1, w, dtype=np.float32), (h, 1))
+
+    ours = np.asarray(novel_view.combine_novel_views(
+        jnp.asarray(il), jnp.asarray(ir), jnp.asarray(flr),
+        jnp.asarray(frl), jnp.asarray(blend)))
+    ref = opf.combine_novel_views(il, ir, flr, frl, blend)
+    np.testing.assert_array_equal(ours.shape, ref.shape)
+    mismatch = (np.abs(ours[..., :3].astype(int)
+                       - ref[..., :3].astype(int)) > 1).any(axis=-1).mean()
+    assert mismatch < 0.02, mismatch

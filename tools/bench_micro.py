@@ -22,7 +22,10 @@ def device_time(fn, *args, iters=20) -> float:
     def loop(eps, args):
         def body(i, carry):
             eps, args = carry
-            out = fn(*jax.tree.map(lambda a: a + eps * 0, args))
+            # dtype-preserving perturbation: ties args to the loop carry
+            # without promoting integer inputs to f32
+            out = fn(*jax.tree.map(
+                lambda a: a + (eps * 0).astype(a.dtype), args))
             # fold output into eps so iterations chain
             s = jax.tree.reduce(
                 lambda acc, x: acc + jnp.sum(x[..., :1, :1].astype(jnp.float32)),
