@@ -96,10 +96,11 @@ def run_once(w: int, h: int, repeats: int, alg: str) -> dict:
 
 
 def main() -> None:
-    # default to the size whose compiled program is in the persistent
-    # cache; the 9000x4000 headline compile takes >1.5h through the
-    # dev tunnel compiler (see PERFORMANCE.md / ROADMAP.md)
-    canvas = os.environ.get("PANOSTITCH_BENCH_CANVAS", "2250x1000")
+    # the 36 MP headline programs compile in ~13 min through the dev
+    # tunnel compiler when the persistent cache is cold (fresh-clone
+    # rounds) -- warm this size FIRST thing each round (CLAUDE.md); the
+    # half-size fallbacks below cover a flaking remote compiler
+    canvas = os.environ.get("PANOSTITCH_BENCH_CANVAS", "9000x4000")
     repeats = int(os.environ.get("PANOSTITCH_BENCH_REPEATS", "1"))
     alg = os.environ.get("PANOSTITCH_BENCH_ALG", "pixflow_low")
     w, h = (int(t) for t in canvas.split("x"))
