@@ -20,6 +20,8 @@ import json
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
