@@ -77,6 +77,17 @@ def combine_novel_views(
     blend_r = blend
     blend_l = 1.0 - blend_r
 
+    # Numeric bounds of the tiled sampler at this call site: per-tile
+    # source offsets are representable up to max_off+margin = 104 px and
+    # intra-tile deviation from the tile mean up to +-8 px.  The flows
+    # sampled here are 2x-upscaled from the half-res solve, then
+    # median-filtered, diffused and blurred (models/pixflow.py), and
+    # scaled by t = blend in [0, 1] -- so offsets stay far inside the
+    # clamp except at rare disocclusion edges in extreme-parallax
+    # scenes, where the sampler degrades to the nearest representable
+    # offset (gated by the smooth-flow mismatch test and the
+    # reference-binary golden).  Raise max_off/margin here if a rig with
+    # larger parallax ever needs it.
     sampler = (sample_nearest_wrap_tiled
                if h >= TILED_SAMPLER_MIN_H and w >= TILED_SAMPLER_MIN_W
                else sample_nearest_wrap)

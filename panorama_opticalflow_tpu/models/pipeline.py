@@ -118,6 +118,14 @@ def stitch_pair_auto(
     sync."""
     from panorama_opticalflow_tpu.models import crop
 
+    # Commit both inputs to one device: the chain's later pairs pass a
+    # committed device array as R while the first pair gets host numpy --
+    # mismatched placements gave _geometry_jit/_finish_windowed_jit a
+    # second trace (and on the TPU a second, differently-sized
+    # executable) per chain.  device_put is a no-op when already there.
+    dev = jax.devices()[0]
+    image_l = jax.device_put(image_l, dev)
+    image_r = jax.device_put(image_r, dev)
     canvas_map, ol, orr = _geometry_jit(image_l, image_r, cfg)
     if window is None:
         roll, width, gsafe = crop.pair_window(canvas_map, cfg)

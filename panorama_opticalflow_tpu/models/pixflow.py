@@ -399,8 +399,6 @@ def patch_match_level(
         if params.max_percentage > 0 and hint != "unknown":
             flow = adjust_initial_flow(i0, i1, alpha0, alpha1, hint, params)
 
-    blurred_flow = im.gaussian_blur(flow, params.blurred_flow_kernel_width,
-                                    params.blurred_flow_sigma)
     update_mask = ((alpha0 > params.update_alpha_threshold)
                    & (alpha1 > params.update_alpha_threshold))
 
@@ -417,6 +415,32 @@ def patch_match_level(
         pallas_ok = (kernels.on_tpu() and params.use_pallas
                      and i0.shape[0] * i0.shape[1]
                      >= params.pallas_min_pixels)
+
+        if pallas_ok and phases == 1 and params.fuse_level_blurs:
+            # fused single-phase level: the relax kernel computes the
+            # blurred-flow target in VMEM (f_base == the flow it blurs
+            # when there is exactly one phase) and a fused kernel does
+            # median + diffusion in one HBM round trip
+            f_base = flow
+            w1g_warp = warp_by_flow_tiled(i1g, f_base)
+            fx, fy = kernels.relax_phase_pallas(
+                flow[..., 0], flow[..., 1],
+                f_base[..., 0], f_base[..., 1],
+                w1g_warp[..., 0], w1g_warp[..., 1],
+                i0x, i0y, None, None,
+                update_mask.astype(jnp.float32),
+                params, iters, params.fast_window,
+                tile=params.pallas_tile, fuse_bf=True)
+            c = 1.0 - alpha0 * alpha1
+            out = kernels.median5_diffuse_pallas(
+                jnp.stack([fx, fy]), c[None],
+                params.blurred_flow_kernel_width,
+                params.blurred_flow_sigma)
+            return jnp.stack([out[0], out[1]], axis=-1)
+
+        blurred_flow = im.gaussian_blur(flow,
+                                        params.blurred_flow_kernel_width,
+                                        params.blurred_flow_sigma)
 
         def median_flow(f):
             if pallas_ok:
@@ -450,6 +474,10 @@ def patch_match_level(
         # graph) is traced/compiled once per level instead of per phase
         flow, _ = jax.lax.scan(phase_body, flow, None, length=phases)
     else:
+        blurred_flow = im.gaussian_blur(flow,
+                                        params.blurred_flow_kernel_width,
+                                        params.blurred_flow_sigma)
+
         def one_iter(f, _):
             return relax_iteration(f, i0x, i0y, i1g, blurred_flow,
                                    update_mask, params), None
@@ -582,9 +610,6 @@ def patch_match_level_batched(
         flow = jnp.stack(flows)
 
     nb = imgs.shape[0]
-    blurred_flow = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
-        f, params.blurred_flow_kernel_width, params.blurred_flow_sigma))(
-        _as_planes(flow)), nb)
     update_mask = ((a0 > params.update_alpha_threshold)
                    & (a1 > params.update_alpha_threshold))
 
@@ -601,6 +626,31 @@ def patch_match_level_batched(
         nb, h, w = imgs.shape
         pallas_ok = (kernels.on_tpu() and params.use_pallas
                      and h * w >= params.pallas_min_pixels)
+
+        if pallas_ok and phases == 1 and params.fuse_level_blurs:
+            # fused single-phase level (see patch_match_level): in-kernel
+            # blurred-flow target + fused median/diffusion round trip
+            f_base = flow
+            w1g_warp = jax.vmap(warp_by_flow_tiled)(i1g, f_base)
+            fx, fy = kernels.relax_phase_pallas(
+                flow[..., 0], flow[..., 1],
+                f_base[..., 0], f_base[..., 1],
+                w1g_warp[..., 0], w1g_warp[..., 1],
+                i0x, i0y, None, None,
+                update_mask.astype(jnp.float32),
+                params, iters, params.fast_window,
+                tile=params.pallas_tile, fuse_bf=True)
+            f = jnp.stack([fx, fy], axis=-1)
+            c = 1.0 - a0 * a1                   # (2, H, W) per direction
+            out = kernels.median5_diffuse_pallas(
+                _as_planes(f), c,
+                params.blurred_flow_kernel_width,
+                params.blurred_flow_sigma)
+            return _from_planes(out, nb)
+
+        blurred_flow = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
+            f, params.blurred_flow_kernel_width,
+            params.blurred_flow_sigma))(_as_planes(flow)), nb)
 
         def median_flow(f):
             if pallas_ok:
@@ -637,6 +687,10 @@ def patch_match_level_batched(
         # graph) is traced/compiled once per level instead of per phase
         flow, _ = jax.lax.scan(phase_body, flow, None, length=phases)
     else:
+        blurred_flow = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
+            f, params.blurred_flow_kernel_width,
+            params.blurred_flow_sigma))(_as_planes(flow)), nb)
+
         def run_phase(f, gx_, gy_, g1, bf, m):
             def one_iter(fc, _):
                 return relax_iteration(fc, gx_, gy_, g1, bf, m, params), None

@@ -126,15 +126,7 @@ def _median5_kernel(x_hbm, o_ref, x_vmem, sem):
     o_ref[0, :, :] = _median25(shifts)
 
 
-def median5_pallas(x: jax.Array, bucket: bool = True) -> jax.Array:
-    """cv::medianBlur 5x5, BORDER_REPLICATE, for (H, W) or (B, H, W) f32
-    planes.  A batch of planes (e.g. fx/fy of both flow directions) runs
-    as one launch with a leading grid dimension.  ``bucket`` ladder-pads
-    the grid so nearby shapes compile one shared Mosaic payload
-    (bit-identical output, see _bucket_tiles)."""
-    squeeze = x.ndim == 2
-    if squeeze:
-        x = x[None]
+def _median5_impl(x: jax.Array, bucket: bool) -> jax.Array:
     nb, h, w = x.shape
     gh = _bucket_tiles(_cdiv(h, _MED_TH), bucket)
     gw = _bucket_tiles(_cdiv(w, _MED_TW), bucket)
@@ -151,8 +143,175 @@ def median5_pallas(x: jax.Array, bucket: bool = True) -> jax.Array:
         scratch_shapes=[pltpu.VMEM((_MED_TH + 8, _MED_TW + 128), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )(xp)
-    out = out[:, :h, :w]
+    return out[:, :h, :w]
+
+
+@functools.lru_cache(maxsize=None)
+def _median5_vmappable(bucket: bool):
+    """custom_vmap wrapper: extra vmap dims fold into the kernel's
+    leading grid dim (Mosaic rejects the default batched-BlockSpec rule
+    for HBM-space pallas_calls)."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(x):
+        return _median5_impl(x, bucket)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x):
+        if not in_batched[0]:
+            return f(x), False
+        inner = x.shape[1:]                       # (B, H, W)
+        out = f(x.reshape((-1,) + inner[-2:]))
+        return out.reshape((axis_size,) + inner), True
+
+    return f
+
+
+def median5_pallas(x: jax.Array, bucket: bool = True) -> jax.Array:
+    """cv::medianBlur 5x5, BORDER_REPLICATE, for (H, W) or (B, H, W) f32
+    planes.  A batch of planes (e.g. fx/fy of both flow directions) runs
+    as one launch with a leading grid dimension; further ``jax.vmap``
+    batch dims fold into that same grid dim (batched-panorama stitching
+    composes).  ``bucket`` ladder-pads the grid so nearby shapes compile
+    one shared Mosaic payload (bit-identical output, see
+    _bucket_tiles)."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    out = _median5_vmappable(bool(bucket))(x)
     return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# fused median5 + low-alpha diffusion
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss_taps(ksize: int, sigma: float) -> tuple[float, ...]:
+    """1-D Gaussian taps, identical to ops.image.gaussian_kernel_1d."""
+    from panorama_opticalflow_tpu.ops.image import gaussian_kernel_1d
+
+    return tuple(float(v) for v in gaussian_kernel_1d(ksize, sigma))
+
+
+_MD_TH, _MD_TW = 64, 512
+
+
+def _median5_diffuse_kernel(taps, x_hbm, c_hbm, o_ref, x_vmem, c_vmem,
+                            sem, sem2):
+    """out = c * gauss(med5(x)) + (1 - c) * med5(x) on one tile.
+
+    The blur needs med on a +-(k//2) margin, med needs x on a further
+    +-2; the window is read once and everything happens in VMEM."""
+    k = len(taps)
+    gr = k // 2
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * _MD_TH, _MD_TH + 24),
+                 pl.ds(j * _MD_TW, _MD_TW + 128)], x_vmem, sem).start()
+    pltpu.make_async_copy(
+        c_hbm.at[b // 2, pl.ds(i * _MD_TH, _MD_TH),
+                 pl.ds(j * _MD_TW, _MD_TW)], c_vmem, sem2).start()
+    pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * _MD_TH, _MD_TH + 24),
+                 pl.ds(j * _MD_TW, _MD_TW + 128)], x_vmem, sem).wait()
+    pltpu.make_async_copy(
+        c_hbm.at[b // 2, pl.ds(i * _MD_TH, _MD_TH),
+                 pl.ds(j * _MD_TW, _MD_TW)], c_vmem, sem2).wait()
+
+    v = x_vmem[:, :]
+    # median over the tile + blur margin (rows/cols [2, TH/TW + 2gr + 2)
+    # of the window = original [-gr, TH/TW + gr))
+    mh, mw = _MD_TH + 2 * gr + 2, _MD_TW + 2 * gr + 2
+    shifts = [v[dy:dy + mh, dx:dx + mw]
+              for dy in range(5) for dx in range(5)]
+    med = _median25(shifts)          # rows r <-> original row r - gr
+    # separable blur of med
+    acc = jnp.zeros((mh, _MD_TW), jnp.float32)
+    for t in range(k):
+        acc = acc + taps[t] * med[:, t:t + _MD_TW]
+    blur = jnp.zeros((_MD_TH, _MD_TW), jnp.float32)
+    for t in range(k):
+        blur = blur + taps[t] * acc[t:t + _MD_TH, :]
+    med_c = med[gr:gr + _MD_TH, gr:gr + _MD_TW]
+    cv = c_vmem[:, :]
+    o_ref[0, :, :] = cv * blur + (1.0 - cv) * med_c
+
+
+def _median5_diffuse_impl(x: jax.Array, c: jax.Array, taps, bucket: bool
+                          ) -> jax.Array:
+    nb, h, w = x.shape
+    gr = len(taps) // 2
+    pad = gr + 2
+    gh = _bucket_tiles(_cdiv(h, _MD_TH), bucket)
+    gw = _bucket_tiles(_cdiv(w, _MD_TW), bucket)
+    hp, wp = gh * _MD_TH, gw * _MD_TW
+    xp = jnp.pad(x, ((0, 0), (pad, hp - h + 24 - pad),
+                     (pad, wp - w + 128 - pad)), mode="edge")
+    cp = jnp.pad(c, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+    out = pl.pallas_call(
+        functools.partial(_median5_diffuse_kernel, taps),
+        grid=(nb, gh, gw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        out_specs=pl.BlockSpec((1, _MD_TH, _MD_TW), lambda b, i, j: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_MD_TH + 24, _MD_TW + 128), jnp.float32),
+                        pltpu.VMEM((_MD_TH, _MD_TW), jnp.float32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+    )(xp, cp)
+    return out[:, :h, :w]
+
+
+@functools.lru_cache(maxsize=None)
+def _median5_diffuse_vmappable(taps, bucket: bool):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(x, c):
+        return _median5_diffuse_impl(x, c, taps, bucket)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x, c):
+        if not any(in_batched):
+            return f(x, c), False
+        xi = x.shape[1:] if in_batched[0] else x.shape
+        ci = c.shape[1:] if in_batched[1] else c.shape
+
+        def fold(a, b, inner):
+            if not b:
+                a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+            return a.reshape((-1,) + inner[-2:])
+
+        # folded plane v*2B+p maps to c index (v*2B+p)//2 = v*B + p//2:
+        # the pairing survives the fold
+        out = f(fold(x, in_batched[0], xi), fold(c, in_batched[1], ci))
+        return out.reshape((axis_size,) + xi), True
+
+    return f
+
+
+def median5_diffuse_pallas(x: jax.Array, c: jax.Array,
+                           ksize: int = 15, sigma: float = 8.0,
+                           bucket: bool = True) -> jax.Array:
+    """Fused ``c * gauss_{ksize,sigma}(median5(x)) + (1-c) * median5(x)``
+    -- the per-level median filter + low-alpha flow diffusion
+    (CPU/PixFlow.hpp:325,339,388-405) in ONE HBM round trip instead of
+    three (median write, blur read/write, lerp read).
+
+    ``x`` is (2B, H, W) float32 flow planes where planes 2b and 2b+1 are
+    the fx/fy of direction b; ``c`` is (B, H, W) diffusion coefficient
+    (1 - a0*a1).  Extra jax.vmap dims fold into the leading grid dim.
+    Border deviation: the blur sees edge-replicated (not reflect-101)
+    content at the canvas border -- a <= ksize//2 px band, gated by the
+    fused-vs-jnp interpret test and the e2e SSIM suites."""
+    return _median5_diffuse_vmappable(_gauss_taps(ksize, sigma),
+                                      bool(bucket))(x, c)
 
 
 # ---------------------------------------------------------------------------
@@ -168,38 +327,14 @@ def _dhat(t):
     return jnp.where(jnp.abs(t) < 1.0, -jnp.sign(t), 0.0)
 
 
-def relax_phase_pallas(
+def _relax_phase_impl(
     fx, fy, bx, by, w1x, w1y, i0x, i0y, bfx, bfy, mask,
-    params: FlowParams, iters: int, D: int,
-    tile: tuple[int, int] = (64, 256),
+    params: FlowParams, iters: int, D: int, tile: tuple[int, int],
+    fuse_bf: bool = False,
 ):
-    """K relaxation iterations on channel-split planes.
-
-    All inputs (H, W) or batched (B, H, W) float32 (mask: 1.0 where
-    updatable).  Returns (fx', fy') of the input shape.  A batch (the
-    two flow directions of a stitch pair) runs as one launch with a
-    leading grid dimension.  Semantics match
-    ops.relax_fast.relax_phase_fast (the separable hat-sampling
-    formulation).
-
-    Implementation notes (hard-won on v5e Mosaic):
-      * the hat window is evaluated separably -- an x-pass accumulates
-        ``X(r,c) = sum_ox hat(dx(r,c)-ox) * W1[r, c+ox]`` into scratch,
-        then each sample map is a y-pass over X -- turning (2D+1)^2
-        fused reads into 2(2D+1);
-      * every accumulator lives in a VMEM scratch *ref*: large SSA
-        temporaries inside the iteration loop each get their own stack
-        slab and blow the 16 MB scoped-vmem limit;
-      * DMA windows are padded to the (8, 128) tiling.
-    """
     def rup(a, m):
         return -(-a // m) * m
 
-    squeeze = fx.ndim == 2
-    planes = [fx, fy, bx, by, w1x, w1y, i0x, i0y, bfx, bfy, mask]
-    if squeeze:
-        planes = [a[None] for a in planes]
-    (fx, fy, bx, by, w1x, w1y, i0x, i0y, bfx, bfy, mask) = planes
     nb, h, w = fx.shape
     th, tw = tile
     halo = iters + D + 2      # propagation + sampling contamination
@@ -216,17 +351,32 @@ def relax_phase_pallas(
     xw_a = twe_a + 128
     # warped-gradient window with slack for all static offsets
     thw_a, tww_a = xr_a + 16, xw_a + 128
+    # fused blurred-flow: f_base windows carry a gr-larger halo so the
+    # 15-tap separable blur can be computed in VMEM over the full
+    # extended tile (one x-pass scratch row band of slack)
+    gr = params.blurred_flow_kernel_width // 2
+    the_b, twe_b = the_a + 2 * gr + 2, twe_a + 128
 
     def pad_to(a, top, height, width):
         return jnp.pad(a, ((0, 0), (top, height - top - a.shape[1]),
                            (top, width - top - a.shape[2])), mode="edge")
 
     ph_, pw_ = (gh - 1) * th + the_a, (gw - 1) * tw + twe_a
-    args = [pad_to(a, halo, ph_, pw_)
-            for a in (fx, fy, bx, by, i0x, i0y, bfx, bfy, mask)]
+    if fuse_bf:
+        assert bfx is None and bfy is None
+        std = [pad_to(a, halo, ph_, pw_)
+               for a in (fx, fy, i0x, i0y, mask)]
+        ph_b, pw_b = (gh - 1) * th + the_b, (gw - 1) * tw + twe_b
+        args = std[:2] + [pad_to(a, halo + gr, ph_b, pw_b)
+                          for a in (bx, by)] + std[2:]
+    else:
+        args = [pad_to(a, halo, ph_, pw_)
+                for a in (fx, fy, bx, by, i0x, i0y, bfx, bfy, mask)]
     phw, pww = (gh - 1) * th + thw_a, (gw - 1) * tw + tww_a
     w1_dt = jnp.bfloat16 if params.w1_bf16 else jnp.float32
     w1 = [pad_to(a, halo + ps, phw, pww).astype(w1_dt) for a in (w1x, w1y)]
+    bf_taps = (_gauss_taps(params.blurred_flow_kernel_width,
+                           params.blurred_flow_sigma) if fuse_bf else None)
 
     smooth = params.smoothness_coef
     step = params.gradient_step_size
@@ -238,25 +388,47 @@ def relax_phase_pallas(
     regs = jnp.array([params.vertical_regularization_coef / w,
                       params.horizontal_regularization_coef / w], jnp.float32)
 
-    def kernel(fx_h, fy_h, bx_h, by_h, i0x_h, i0y_h, bfx_h, bfy_h, m_h,
-               w1x_h, w1y_h, regs_r, ofx_r, ofy_r,
-               fx_r, fy_r, bx_r, by_r, i0x_r, i0y_r, bfx_r, bfy_r, m_r,
-               w1x_r, w1y_r,
-               xax_r, xay_r, gax_r, gay_r,
-               s0x_r, s0y_r, sxpx_r, sxpy_r, sxmx_r, sxmy_r,
-               sypx_r, sypy_r, symx_r, symy_r,
-               sems):
+    def kernel(*refs):
+        if fuse_bf:
+            (fx_h, fy_h, bx_h, by_h, i0x_h, i0y_h, m_h,
+             w1x_h, w1y_h, regs_r, ofx_r, ofy_r,
+             fx_r, fy_r, bx_r, by_r, i0x_r, i0y_r, m_r,
+             w1x_r, w1y_r, bfx_r, bfy_r, xg_r,
+             xax_r, xay_r, gax_r, gay_r,
+             s0x_r, s0y_r, sxpx_r, sxpy_r, sxmx_r, sxmy_r,
+             sypx_r, sypy_r, symx_r, symy_r, sems) = refs
+        else:
+            (fx_h, fy_h, bx_h, by_h, i0x_h, i0y_h, bfx_h, bfy_h, m_h,
+             w1x_h, w1y_h, regs_r, ofx_r, ofy_r,
+             fx_r, fy_r, bx_r, by_r, i0x_r, i0y_r, bfx_r, bfy_r, m_r,
+             w1x_r, w1y_r,
+             xax_r, xay_r, gax_r, gay_r,
+             s0x_r, s0y_r, sxpx_r, sxpy_r, sxmx_r, sxmy_r,
+             sypx_r, sypy_r, symx_r, symy_r, sems) = refs
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
         y0 = i * th
         x0 = j * tw
+        if fuse_bf:
+            std = ((fx_h, fx_r), (fy_h, fy_r), (i0x_h, i0x_r),
+                   (i0y_h, i0y_r), (m_h, m_r))
+            big = ((bx_h, bx_r), (by_h, by_r))
+        else:
+            std = ((fx_h, fx_r), (fy_h, fy_r), (bx_h, bx_r),
+                   (by_h, by_r), (i0x_h, i0x_r), (i0y_h, i0y_r),
+                   (bfx_h, bfx_r), (bfy_h, bfy_r), (m_h, m_r))
+            big = ()
         copies = []
-        for src, dst in ((fx_h, fx_r), (fy_h, fy_r), (bx_h, bx_r),
-                         (by_h, by_r), (i0x_h, i0x_r), (i0y_h, i0y_r),
-                         (bfx_h, bfx_r), (bfy_h, bfy_r), (m_h, m_r)):
+        for src, dst in std:
             c = pltpu.make_async_copy(
                 src.at[b, pl.ds(y0, the_a), pl.ds(x0, twe_a)], dst,
+                sems.at[len(copies)])
+            c.start()
+            copies.append(c)
+        for src, dst in big:
+            c = pltpu.make_async_copy(
+                src.at[b, pl.ds(y0, the_b), pl.ds(x0, twe_b)], dst,
                 sems.at[len(copies)])
             c.start()
             copies.append(c)
@@ -268,6 +440,22 @@ def relax_phase_pallas(
             copies.append(c)
         for c in copies:
             c.wait()
+
+        if fuse_bf:
+            # blurred-flow regularisation target computed in VMEM from
+            # the f_base windows (separable 15-tap passes) -- replaces
+            # the level's XLA blur HBM round trip
+            for src_r, out_r in ((bx_r, bfx_r), (by_r, bfy_r)):
+                sv = src_r[:, :]
+                acc = jnp.zeros((the_b, twe_a), jnp.float32)
+                for t, tap in enumerate(bf_taps):
+                    acc = acc + tap * sv[:, t:t + twe_a]
+                xg_r[:, :] = acc
+                xv = xg_r[:, :]
+                acc2 = jnp.zeros((the_a, twe_a), jnp.float32)
+                for t, tap in enumerate(bf_taps):
+                    acc2 = acc2 + tap * xv[t:t + the_a, :]
+                out_r[:, :] = acc2
 
         vreg_w = regs_r[0]
         hreg_w = regs_r[1]
@@ -351,8 +539,13 @@ def relax_phase_pallas(
         def body(_, __):
             fxb = fx_r[:, :][:the, :twe]
             fyb = fy_r[:, :][:the, :twe]
-            bxb = bx_r[:, :][:the, :twe]
-            byb = by_r[:, :][:the, :twe]
+            if fuse_bf:
+                # f_base window carries a gr-larger halo; shift origin
+                bxb = bx_r[:, :][gr:gr + the, gr:gr + twe]
+                byb = by_r[:, :][gr:gr + the, gr:gr + twe]
+            else:
+                bxb = bx_r[:, :][:the, :twe]
+                byb = by_r[:, :][:the, :twe]
             dx = jnp.clip(fxb - bxb, -lim, lim)
             dy = jnp.clip(fyb - byb, -lim, lim)
 
@@ -439,23 +632,120 @@ def relax_phase_pallas(
         ofx_r[0, :, :] = fx_r[:, :][halo:halo + th, halo:halo + tw]
         ofy_r[0, :, :] = fy_r[:, :][halo:halo + th, halo:halo + tw]
 
-    out_fx, out_fy = pl.pallas_call(
-        kernel,
-        grid=(nb, gh, gw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 11
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[pl.BlockSpec((1, th, tw), lambda b, i, j: (b, i, j),
-                                memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32)] * 2,
-        scratch_shapes=(
+    if fuse_bf:
+        scratch = (
+            [pltpu.VMEM((the_a, twe_a), jnp.float32)] * 2      # fx fy
+            + [pltpu.VMEM((the_b, twe_b), jnp.float32)] * 2    # bx by
+            + [pltpu.VMEM((the_a, twe_a), jnp.float32)] * 3    # i0x i0y m
+            + [pltpu.VMEM((thw_a, tww_a), w1_dt)] * 2
+            + [pltpu.VMEM((the_a, twe_a), jnp.float32)] * 2    # bfx bfy
+            + [pltpu.VMEM((the_b, twe_a), jnp.float32)]        # blur x-pass
+            + [pltpu.VMEM((xr_a, xw_a), jnp.float32)] * 4
+            + [pltpu.VMEM((the_a, twe_a), jnp.float32)] * 10
+            + [pltpu.SemaphoreType.DMA((9,))]
+        )
+        n_in = 9
+    else:
+        scratch = (
             [pltpu.VMEM((the_a, twe_a), jnp.float32)] * 9
             + [pltpu.VMEM((thw_a, tww_a), w1_dt)] * 2
             + [pltpu.VMEM((xr_a, xw_a), jnp.float32)] * 4
             + [pltpu.VMEM((the_a, twe_a), jnp.float32)] * 10
             + [pltpu.SemaphoreType.DMA((11,))]
-        ),
+        )
+        n_in = 11
+    out_fx, out_fy = pl.pallas_call(
+        kernel,
+        grid=(nb, gh, gw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_in
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec((1, th, tw), lambda b, i, j: (b, i, j),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32)] * 2,
+        scratch_shapes=scratch,
     )(*args, *w1, regs)
-    out_fx, out_fy = out_fx[:, :h, :w], out_fy[:, :h, :w]
+    return out_fx[:, :h, :w], out_fy[:, :h, :w]
+
+
+@functools.lru_cache(maxsize=None)
+def _relax_phase_vmappable(params: FlowParams, iters: int, D: int,
+                           tile: tuple[int, int], fuse_bf: bool = False):
+    """custom_vmap wrapper: extra vmap dims fold into the kernel's
+    leading grid dim, so ``jax.vmap(stitch_pair)`` composes with the
+    Pallas path (the default batched-BlockSpec rule fails Mosaic
+    lowering for HBM-space pallas_calls)."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(*planes):
+        if fuse_bf:
+            fx, fy, bx, by, w1x, w1y, i0x, i0y, mask = planes
+            return _relax_phase_impl(fx, fy, bx, by, w1x, w1y, i0x, i0y,
+                                     None, None, mask, params=params,
+                                     iters=iters, D=D, tile=tile,
+                                     fuse_bf=True)
+        return _relax_phase_impl(*planes, params=params, iters=iters,
+                                 D=D, tile=tile)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *planes):
+        if not any(in_batched):
+            return f(*planes), (False, False)
+        inner = next(p.shape[1:]
+                     for p, b in zip(planes, in_batched) if b)  # (B, H, W)
+
+        def fold(p, b):
+            if not b:
+                p = jnp.broadcast_to(p, (axis_size,) + p.shape)
+            return p.reshape((-1,) + inner[-2:])
+
+        ofx, ofy = f(*[fold(p, b) for p, b in zip(planes, in_batched)])
+        oshape = (axis_size,) + inner
+        return (ofx.reshape(oshape), ofy.reshape(oshape)), (True, True)
+
+    return f
+
+
+def relax_phase_pallas(
+    fx, fy, bx, by, w1x, w1y, i0x, i0y, bfx, bfy, mask,
+    params: FlowParams, iters: int, D: int,
+    tile: tuple[int, int] = (64, 256), fuse_bf: bool = False,
+):
+    """K relaxation iterations on channel-split planes.
+
+    All inputs (H, W) or batched (B, H, W) float32 (mask: 1.0 where
+    updatable).  Returns (fx', fy') of the input shape.  A batch (the
+    two flow directions of a stitch pair) runs as one launch with a
+    leading grid dimension; further ``jax.vmap`` dims (batched-panorama
+    stitching) fold into that same grid dim via a custom batching rule.
+    Semantics match ops.relax_fast.relax_phase_fast (the separable
+    hat-sampling formulation).
+
+    Implementation notes (hard-won on v5e Mosaic):
+      * the hat window is evaluated separably -- an x-pass accumulates
+        ``X(r,c) = sum_ox hat(dx(r,c)-ox) * W1[r, c+ox]`` into scratch,
+        then each sample map is a y-pass over X -- turning (2D+1)^2
+        fused reads into 2(2D+1);
+      * every accumulator lives in a VMEM scratch *ref*: large SSA
+        temporaries inside the iteration loop each get their own stack
+        slab and blow the 16 MB scoped-vmem limit;
+      * DMA windows are padded to the (8, 128) tiling.
+
+    With ``fuse_bf`` the blurred-flow regularisation target is computed
+    inside the kernel from the f_base planes (``bfx``/``bfy`` must be
+    None): valid when f_base IS the flow the target blurs, i.e.
+    single-phase schedules.
+    """
+    squeeze = fx.ndim == 2
+    if fuse_bf:
+        assert bfx is None and bfy is None
+        planes = [fx, fy, bx, by, w1x, w1y, i0x, i0y, mask]
+    else:
+        planes = [fx, fy, bx, by, w1x, w1y, i0x, i0y, bfx, bfy, mask]
+    if squeeze:
+        planes = [a[None] for a in planes]
+    out_fx, out_fy = _relax_phase_vmappable(
+        params, int(iters), int(D), tuple(tile), bool(fuse_bf))(*planes)
     if squeeze:
         return out_fx[0], out_fy[0]
     return out_fx, out_fy

@@ -123,13 +123,17 @@ def sample_nearest_wrap_tiled(
     img_p = jnp.pad(img_p, ((0, 0), (0, 0), (pad, pad)), mode="wrap")
     img_p = jnp.pad(img_p, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
-    def tiles(a, fill):
-        a = jnp.pad(a, ((0, hp - h), (0, wp - w)), constant_values=fill)
+    def tiles(a):
+        # edge-pad (not zero-pad): partial bottom/right tiles must take
+        # their mean offset from valid pixels only -- zero fill skewed the
+        # mean and corrupted the whole tile remainder on canvases whose
+        # h/w are not multiples of (tile_h, tile_w)
+        a = jnp.pad(a, ((0, hp - h), (0, wp - w)), mode="edge")
         return (a.reshape(ty, tile_h, tx, tile_w)
                 .transpose(0, 2, 1, 3).reshape(-1, tile_h, tile_w))
 
-    ox_t = tiles(ox, 0)
-    oy_t = tiles(oy, 0)
+    ox_t = tiles(ox)
+    oy_t = tiles(oy)
     off_x = jnp.clip(jnp.rint(ox_t.mean(axis=(1, 2))),
                      -max_off, max_off).astype(jnp.int32)
     off_y = jnp.clip(jnp.rint(oy_t.mean(axis=(1, 2))),

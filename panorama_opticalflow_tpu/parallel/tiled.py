@@ -226,35 +226,45 @@ def _tiled_resize_cols(x: jax.Array, out_w: int, method: str) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _tiled_eight_ray(mask: jax.Array, step: int, max_i: float,
-                     diag_scale: float, axis: str, h_global: int) -> jax.Array:
-    """Distributed version of ops.distance.eight_ray_min_distance for a
-    row-sharded boolean mask ((h_local, W), global rows = n * h_local with
-    possible dead pad rows at the bottom; pad rows must be False).
+def _tiled_eight_ray_multi(masks: list, step: int, max_i: float,
+                           diag_scale: float, axis: str,
+                           h_global: int) -> list:
+    """Distributed version of ops.distance.eight_ray_min_distance for M
+    row-sharded boolean masks ((h_local, W) each, global rows =
+    n * h_local with possible dead pad rows at the bottom; pad rows must
+    be False).  Returns a list of M distance fields.
 
     x scans are row-local.  y and diagonal scans run column-sharded over
-    an all-gathered copy of the full (small, boolean) mask, then return to
-    row sharding with an all_to_all.  Semantics identical to the untiled
-    op, including the reference's row-0/col-0 exclusions for negative
-    directions.
+    ONE all-gathered copy of all masks (column-concatenated -- the blend
+    field needs both the L and R class in every call, and one fused
+    gather + one all_to_all per scan direction halves the collective
+    count vs per-mask calls), then return to row sharding with an
+    all_to_all.  Semantics identical to the untiled op, including the
+    reference's row-0/col-0 exclusions for negative directions.
     """
     n = jax.lax.axis_size(axis)
     d = jax.lax.axis_index(axis)
-    h, w = mask.shape
+    h, w = masks[0].shape
     hp = h * n  # padded global rows
+    m = len(masks)
 
     inf = jnp.float32(jnp.inf)
 
     def keep(dist):
         return jnp.where(dist < max_i, dist, inf)
 
-    # ---- straight x (row-local) ----
-    no_col0 = mask.at[:, 0].set(False)
-    d_xp = keep(_strided_first_hit_x(mask, step, reverse=False))
-    d_xm = keep(_strided_first_hit_x(no_col0, step, reverse=True))
+    # ---- straight x (row-local, per mask) ----
+    d_x = []
+    for mask in masks:
+        no_col0 = mask.at[:, 0].set(False)
+        d_xp = keep(_strided_first_hit_x(mask, step, reverse=False))
+        d_xm = keep(_strided_first_hit_x(no_col0, step, reverse=True))
+        d_x.append(jnp.minimum(d_xp, d_xm))
 
-    # ---- full mask for column-sharded scans ----
-    full = jax.lax.all_gather(mask, axis, axis=0, tiled=True)  # (hp, W)
+    # ---- ONE full gather of all masks for the column-sharded scans ----
+    full_cat = jax.lax.all_gather(jnp.concatenate(masks, axis=1), axis,
+                                  axis=0, tiled=True)    # (hp, m*W)
+    fulls = [full_cat[:, k * w:(k + 1) * w] for k in range(m)]
 
     def col_scan(m_full, strip_w, reverse):
         """Column-sharded strided scan along axis 0, returned row-sharded."""
@@ -268,39 +278,59 @@ def _tiled_eight_ray(mask: jax.Array, step: int, max_i: float,
                                  tiled=True)
         return out  # (h, wp); caller slices [:, :needed]
 
-    # ---- straight y ----
-    wc = _cdiv(w, n)
-    no_row0 = jnp.where(jnp.arange(hp)[:, None] == 0, False, full)
-    d_yp = keep(col_scan(full, wc, False)[:, :w])
-    d_ym = keep(col_scan(no_row0, wc, True)[:, :w])
+    row0 = jnp.arange(hp)[:, None] == 0
+    col0 = jnp.arange(w)[None, :] == 0
 
-    # ---- diagonals ----
+    # ---- straight y (one batched scan per direction) ----
+    wc = _cdiv(m * w, n)
+    cat_nr0 = jnp.where(row0, False, full_cat)
+    yp_cat = col_scan(full_cat, wc, False)[:, :m * w]
+    ym_cat = col_scan(cat_nr0, wc, True)[:, :m * w]
+
+    # ---- diagonals (shear per mask, scan batched) ----
     sq2 = diag_scale
     ws = w + hp - 1
-    wcs = _cdiv(ws, n)
+    wcs = _cdiv(m * ws, n)
+
     def unshear(dist_rows, sign):
-        # dist_rows: (h, n*wcs) row-sharded sheared distances; roll-based
+        # dist_rows: (h, ws) row-sharded sheared distances; roll-based
         # unshear with the shard's global row offset
         return _unshear(dist_rows, sign, w, row_offset=d * h, total_h=hp)
 
-    full_nc0 = jnp.where(jnp.arange(w)[None, :] == 0, False, full)
-    full_nr0 = no_row0
-    full_nb = jnp.where(jnp.arange(w)[None, :] == 0, False, no_row0)
+    sh_pp, sh_pp_ex, sh_pm, sh_pm_ex = [], [], [], []
+    for full in fulls:
+        f_nr0 = jnp.where(row0, False, full)
+        f_nc0 = jnp.where(col0, False, full)
+        f_nb = jnp.where(col0, False, f_nr0)
+        sh_pp.append(_shear(full, +1))     # conserves x - y: (+1,+1) down
+        sh_pp_ex.append(_shear(f_nb, +1))  # (-1,-1) up
+        sh_pm.append(_shear(f_nc0, -1))    # conserves x + y: (+1,-1) down
+        sh_pm_ex.append(_shear(f_nr0, -1))  # (-1,+1) up
 
-    sh_pp = _shear(full, +1)        # conserves x - y: (+1,+1) down, (-1,-1) up
-    sh_pp_ex = _shear(full_nb, +1)
-    sh_pm = _shear(full_nc0, -1)    # conserves x + y: (+1,-1) down
-    sh_pm_ex = _shear(full_nr0, -1)  # (-1,+1) up
+    dr_cat = col_scan(jnp.concatenate(sh_pp, 1), wcs, False)[:, :m * ws]
+    ul_cat = col_scan(jnp.concatenate(sh_pp_ex, 1), wcs, True)[:, :m * ws]
+    dl_cat = col_scan(jnp.concatenate(sh_pm, 1), wcs, False)[:, :m * ws]
+    ur_cat = col_scan(jnp.concatenate(sh_pm_ex, 1), wcs, True)[:, :m * ws]
 
-    d_dr = keep(col_scan(sh_pp, wcs, False))
-    d_ul = keep(col_scan(sh_pp_ex, wcs, True))
-    d_dl = keep(col_scan(sh_pm, wcs, False))
-    d_ur = keep(col_scan(sh_pm_ex, wcs, True))
+    outs = []
+    for k in range(m):
+        out = jnp.minimum(
+            d_x[k],
+            jnp.minimum(keep(yp_cat[:, k * w:(k + 1) * w]),
+                        keep(ym_cat[:, k * w:(k + 1) * w])))
+        for cat, sign in ((dr_cat, +1), (ul_cat, +1),
+                          (dl_cat, -1), (ur_cat, -1)):
+            dist = keep(cat[:, k * ws:(k + 1) * ws])
+            out = jnp.minimum(out, unshear(dist, sign) * sq2)
+        outs.append(out)
+    return outs
 
-    out = jnp.minimum(jnp.minimum(d_xp, d_xm), jnp.minimum(d_yp, d_ym))
-    for dist, sign in ((d_dr, +1), (d_ul, +1), (d_dl, -1), (d_ur, -1)):
-        out = jnp.minimum(out, unshear(dist, sign) * sq2)
-    return out
+
+def _tiled_eight_ray(mask: jax.Array, step: int, max_i: float,
+                     diag_scale: float, axis: str, h_global: int) -> jax.Array:
+    """Single-mask convenience wrapper over _tiled_eight_ray_multi."""
+    return _tiled_eight_ray_multi([mask], step, max_i, diag_scale, axis,
+                                  h_global)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -593,24 +623,42 @@ def tiled_compute_optical_flow_pair(
 
 
 def _tiled_generate_blend(canvas_map: jax.Array, cfg: StitchConfig,
-                          axis: str, n: int, h_global: int):
-    """Row-tiled stitcher.generate_blend."""
-    h_loc, w = canvas_map.shape
-    length = w // cfg.blend_extend_div
-    ext = im.wrap_extend_x(canvas_map, length)  # local: x is whole
+                          axis: str, n: int, h_global: int,
+                          window: tuple | None = None):
+    """Row-tiled stitcher.generate_blend.
 
+    ``window`` is an optional (roll, width) column window (roll may be a
+    traced scalar; width is static): the field is computed on the rolled
+    slice only, mirroring the single-chip windowed blend (same SSIM-gated
+    approximation, stitcher.generate_blend docstring) -- x stays whole
+    per device, so the roll+slice is row-local.  Returns (blend,
+    merged_dis) of width ``width`` when windowed.
+    """
+    h_loc, w = canvas_map.shape
     step = max(1, min(h_global, w) // cfg.blend_step_div)
     max_i = w / 2.0
 
     g_rows = jnp.arange(h_loc)[:, None] + jax.lax.axis_index(axis) * h_loc
     live = g_rows < h_global  # guard pad rows
 
-    d_l = _tiled_eight_ray((ext == 100) & live, step, max_i, math.sqrt(2.0),
-                           axis, h_global)
-    d_r = _tiled_eight_ray((ext == 50) & live, step, max_i, math.sqrt(2.0),
-                           axis, h_global)
-    d_l = im.crop_x(d_l, length)
-    d_r = im.crop_x(d_r, length)
+    windowed = window is not None and window[1] < w
+    if windowed:
+        roll, width = window
+        center = jnp.roll(canvas_map, -roll, axis=1)[:, :width]
+        d_l, d_r = _tiled_eight_ray_multi(
+            [(center == 100) & live, (center == 50) & live],
+            step, max_i, math.sqrt(2.0), axis, h_global)
+        out_w = width
+    else:
+        length = w // cfg.blend_extend_div
+        ext = im.wrap_extend_x(canvas_map, length)  # local: x is whole
+        d_l, d_r = _tiled_eight_ray_multi(
+            [(ext == 100) & live, (ext == 50) & live],
+            step, max_i, math.sqrt(2.0), axis, h_global)
+        d_l = im.crop_x(d_l, length)
+        d_r = im.crop_x(d_r, length)
+        center = canvas_map
+        out_w = w
 
     none_val = jnp.float32(10.0 * w)
     d_l = jnp.where(jnp.isinf(d_l), none_val, d_l)
@@ -618,10 +666,10 @@ def _tiled_generate_blend(canvas_map: jax.Array, cfg: StitchConfig,
     counted = d_l / (d_l + d_r)
     merged_dis = jnp.minimum(d_l, d_r)
 
-    blend = jnp.where(canvas_map == 100, 0.0,
-                      jnp.where(canvas_map == 50, 1.0,
-                                jnp.where(canvas_map == 150, counted, 0.5)))
-    merged_dis = jnp.where(canvas_map == 150, merged_dis, 0.0)
+    blend = jnp.where(center == 100, 0.0,
+                      jnp.where(center == 50, 1.0,
+                                jnp.where(center == 150, counted, 0.5)))
+    merged_dis = jnp.where(center == 150, merged_dis, 0.0)
 
     k_sel = h_global // cfg.blend_smooth_kernel_div
     if k_sel >= 2:
@@ -629,7 +677,7 @@ def _tiled_generate_blend(canvas_map: jax.Array, cfg: StitchConfig,
             blend, lambda e: im.box_blur(e, k_sel, k_sel), k_sel, axis)
         # selection grid from global block top-left pixels: sample the
         # local grid rows, all_gather, and rebuild the global grid
-        hq, wq = h_global // step, w // step
+        hq, wq = h_global // step, out_w // step
         d_idx = jax.lax.axis_index(axis)
         rows = jnp.arange(0, h_loc, step)
         sel_rows = merged_dis[rows[:, None], jnp.arange(0, wq * step, step)[None, :]]
@@ -646,14 +694,18 @@ def _tiled_generate_blend(canvas_map: jax.Array, cfg: StitchConfig,
                                 mode="drop")
         sel = grid > step
         qy_ok = jnp.arange(hq) * step + step < h_global
-        qx_ok = jnp.arange(wq) * step + step < w
+        if windowed:
+            gx = (jnp.arange(wq) * step + window[0]) % w
+            qx_ok = gx + step < w
+        else:
+            qx_ok = jnp.arange(wq) * step + step < w
         sel = sel & qy_ok[:, None] & qx_ok[None, :]
         # expand to pixels, slice my rows
         sel_up = jnp.repeat(jnp.repeat(sel, step, axis=0), step, axis=1)
-        sel_full = jnp.zeros((n * h_loc, w), bool)
+        sel_full = jnp.zeros((n * h_loc, out_w), bool)
         sel_full = sel_full.at[: hq * step, : wq * step].set(sel_up)
         my_sel = jax.lax.dynamic_slice(sel_full, (d_idx * h_loc, 0),
-                                       (h_loc, w))
+                                       (h_loc, out_w))
         blend = jnp.where(my_sel, blurred, blend)
 
     k_glob = h_global // cfg.blend_global_blur_div
@@ -672,33 +724,52 @@ def _tiled_combine(ol, orr, flr, frl, blend, axis, tc: TileConfig):
     return _crop_rows(out, halo)
 
 
-def _tiled_gather(canvas_map, image_l, image_r, merged, cfg, axis, h_global):
+def _tiled_gather(canvas_map, image_l, image_r, merged, cfg, axis, h_global,
+                  window: tuple | None = None):
     """Row-tiled stitcher.gather_composite: rays reach at most
     gather_search_radius - 1 rows -> halo exchange with an invalid-code
-    fill, global row-0 exclusion applied by global index."""
+    fill, global row-0 exclusion applied by global index.
+
+    ``window`` is an optional (roll, width) column window; when the
+    caller verified crop.gather_window_safe the hole search runs on the
+    window slice bit-identically (rays are radius-bounded), row-local."""
     r = cfg.gather_search_radius
     merged_a = im.threshold_binary(merged[..., 3], 0, 75)
     code = canvas_map + merged_a
 
-    h_loc = code.shape[0]
+    h_loc, w = code.shape
     d = jax.lax.axis_index(axis)
     g_rows = jnp.arange(h_loc)[:, None] + d * h_loc
     live = g_rows < h_global
     code_l = jnp.where(live, code, 255)
 
-    ext = _exchange_rows(code_l, r, axis, fill=255)
-    # reference boundary semantics: GLOBAL row 0 invisible to -y rays
-    # (local col 0 is global col 0, the helper's default)
-    g_rows_ext = jnp.arange(-r, h_loc + r)[:, None] + d * h_loc
-    row0 = jnp.broadcast_to(g_rows_ext == 0, ext.shape)
-    found, take_l = two_class_hole_search(ext == 100, ext == 50, r,
-                                          row0_excluded=row0)
-    found = _crop_rows(found, r)
-    take_l = _crop_rows(take_l, r)
-    hole_black = jnp.array([0, 0, 0, 255], jnp.uint8)
-    hole = jnp.where(found[..., None],
-                     jnp.where(take_l[..., None], image_l, image_r),
-                     hole_black)
+    def hole_from(codes, img_l, img_r):
+        ext = _exchange_rows(codes, r, axis, fill=255)
+        # reference boundary semantics: GLOBAL row 0 invisible to -y rays
+        # (local col 0 is global col 0, the helper's default)
+        g_rows_ext = jnp.arange(-r, h_loc + r)[:, None] + d * h_loc
+        row0 = jnp.broadcast_to(g_rows_ext == 0, ext.shape)
+        found, take_l = two_class_hole_search(ext == 100, ext == 50, r,
+                                              row0_excluded=row0)
+        found = _crop_rows(found, r)
+        take_l = _crop_rows(take_l, r)
+        hole_black = jnp.array([0, 0, 0, 255], jnp.uint8)
+        return jnp.where(found[..., None],
+                         jnp.where(take_l[..., None], img_l, img_r),
+                         hole_black)
+
+    if window is None:
+        hole = hole_from(code_l, image_l, image_r)
+    else:
+        roll, width = window
+
+        def win(a):
+            return jnp.roll(a, -roll, axis=1)[:, :width]
+
+        hole_w = hole_from(win(code_l), win(image_l), win(image_r))
+        hole = jnp.zeros((h_loc, w, 4), jnp.uint8)
+        hole = jax.lax.dynamic_update_slice(hole, hole_w, (0, 0, 0))
+        hole = jnp.roll(hole, roll, axis=1)
 
     zero = jnp.zeros((4,), jnp.uint8)
     out = jnp.where((code == 100)[..., None], image_l, zero)
@@ -709,19 +780,53 @@ def _tiled_gather(canvas_map, image_l, image_r, merged, cfg, axis, h_global):
     return out
 
 
-def _tiled_stitch_pair_body(image_l, image_r, cfg: StitchConfig, axis: str,
+def _tiled_stitch_pair_body(image_l, image_r, roll=None, *,
+                            cfg: StitchConfig, axis: str,
                             n: int, h_global: int,
-                            tc: TileConfig = TileConfig()):
+                            tc: TileConfig = TileConfig(),
+                            width: int | None = None,
+                            gather_windowed: bool = False):
+    """Local (per-shard) body of the tiled stitch.
+
+    With ``width`` (static) and ``roll`` (replicated traced scalar) the
+    flow/blend/combine stages run on the planned overlap column window
+    only -- the same work-saving the single-chip stitch_pair_auto path
+    uses (models/crop.py); x stays whole per device so every roll+slice
+    is row-local.  ``gather_windowed`` additionally windows the hole
+    search (caller checked crop.gather_window_safe).
+    """
     canvas_map = stitcher.match_images(image_l, image_r)
     ol = stitcher.extract_overlap(image_l, canvas_map)
     orr = stitcher.extract_overlap(image_r, canvas_map)
-    blend, _ = _tiled_generate_blend(canvas_map, cfg, axis, n, h_global)
+    h_loc, w = canvas_map.shape
+    params = cfg.flow_params
 
-    w = image_l.shape[1]
+    windowed = width is not None and width < w
+    if windowed:
+        def win(a):
+            return jnp.roll(a, -roll, axis=1)[:, :width]
+
+        blend_w, _ = _tiled_generate_blend(canvas_map, cfg, axis, n,
+                                           h_global, window=(roll, width))
+        # window already covers overlap + margin + cols/20 extension
+        # (crop._window_from_cols): solve flow directly on the slice,
+        # exactly like the single-chip crop.cropped_flows_window
+        flr_w, frl_w = tiled_compute_optical_flow_pair(
+            win(ol), win(orr), params, ("left", "right"),
+            axis, n, h_global, tc)
+        merged_w = _tiled_combine(win(ol), win(orr), flr_w, frl_w,
+                                  blend_w, axis, tc)
+        merged = jnp.zeros((h_loc, w, 4), jnp.uint8)
+        merged = jax.lax.dynamic_update_slice(merged, merged_w, (0, 0, 0))
+        merged = jnp.roll(merged, roll, axis=1)
+        gw = (roll, width) if gather_windowed else None
+        return _tiled_gather(canvas_map, image_l, image_r, merged, cfg,
+                             axis, h_global, window=gw)
+
+    blend, _ = _tiled_generate_blend(canvas_map, cfg, axis, n, h_global)
     length = w // cfg.flow_extend_div
     ext_l = im.wrap_extend_x(ol, length)
     ext_r = im.wrap_extend_x(orr, length)
-    params = cfg.flow_params
     flr, frl = tiled_compute_optical_flow_pair(
         ext_l, ext_r, params, ("left", "right"), axis, n, h_global, tc)
     flr = im.crop_x(flr, length)
@@ -734,12 +839,17 @@ def _tiled_stitch_pair_body(image_l, image_r, cfg: StitchConfig, axis: str,
 
 def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
                       cfg: StitchConfig, mesh, axis: str = "y",
-                      tc: TileConfig = TileConfig()) -> jax.Array:
+                      tc: TileConfig = TileConfig(),
+                      window: tuple | None = None) -> jax.Array:
     """Stitch one canvas pair, row-sharded over ``mesh``.
 
     Inputs are global (H, W, 4) uint8 arrays; rows are padded to a
     multiple of the mesh size with transparent rows, stitched tiled, and
-    cropped back.
+    cropped back.  ``window`` is an optional precomputed
+    (roll, width[, gather_safe]) overlap column window (e.g. from
+    crop.pair_window / crop.plan_chain_windows) -- the sharded twin of
+    stitch_pair_auto's work-saving crop; pass it to avoid full-canvas
+    flow/blend/combine work.
     """
     h, w = image_l.shape[:2]
     n = int(np.prod([mesh.shape[a] for a in (axis,)]))
@@ -748,12 +858,34 @@ def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
     lp = jnp.pad(image_l, pad)
     rp = jnp.pad(image_r, pad)
 
-    body = partial(_tiled_stitch_pair_body, cfg=cfg, axis=axis, n=n,
-                   h_global=h, tc=tc)
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
     # annotation, so the vma checker rejects the Pallas branch inside
     # shard_map (kernels are per-tile local; the check adds nothing here)
-    fn = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
-                   out_specs=P(axis), check_vma=False)
-    out = jax.jit(fn)(lp, rp)
+    if window is not None and window[1] < w:
+        roll, width, gsafe = (window if len(window) == 3
+                              else (*window, False))
+        body = partial(_tiled_stitch_pair_body, cfg=cfg, axis=axis, n=n,
+                       h_global=h, tc=tc, width=width,
+                       gather_windowed=gsafe)
+        fn = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis), P()),
+                       out_specs=P(axis), check_vma=False)
+        out = jax.jit(fn)(lp, rp, jnp.asarray(roll, jnp.int32))
+    else:
+        body = partial(_tiled_stitch_pair_body, cfg=cfg, axis=axis, n=n,
+                       h_global=h, tc=tc)
+        fn = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
+                       out_specs=P(axis), check_vma=False)
+        out = jax.jit(fn)(lp, rp)
     return out[:h]
+
+
+def tiled_stitch_pair_auto(image_l: jax.Array, image_r: jax.Array,
+                           cfg: StitchConfig, mesh, axis: str = "y",
+                           tc: TileConfig = TileConfig()) -> jax.Array:
+    """tiled_stitch_pair with the overlap window derived from the pair's
+    canvas map (one tiny host sync, exactly like stitch_pair_auto)."""
+    from panorama_opticalflow_tpu.models import crop
+
+    window = crop.pair_window(stitcher.match_images(image_l, image_r), cfg)
+    return tiled_stitch_pair(image_l, image_r, cfg, mesh, axis, tc,
+                             window=window)

@@ -140,6 +140,16 @@ class FlowParams:
     # bigger tiles.  The rounding happens once at load; all arithmetic
     # stays f32 (the jnp path quantises identically for parity).
     w1_bf16: bool = False
+    # Fold the level's two 15x15 flow blurs into the Pallas kernels
+    # (single-phase schedules on the Pallas path only): the relax kernel
+    # computes the blurred-flow regularisation target from its own
+    # f_base window in VMEM, and a fused median+diffusion kernel blurs
+    # and lerps the phase output in one HBM round trip.  Removes 2 full
+    # HBM blur round trips per level (~14% of the level time at the
+    # 36 MP headline's finest level).  Deviation: the in-kernel blurs
+    # see edge-replicated borders at the canvas edge instead of
+    # cv2-style reflect-101 (a <=7 px border band, SSIM-gated).
+    fuse_level_blurs: bool = True
 
     @property
     def search_distance(self) -> int:

@@ -103,15 +103,19 @@ def test_tiled_sampler_exact_on_constant_flow(rng):
     from panorama_opticalflow_tpu.ops.warp import (sample_nearest_wrap,
                                                    sample_nearest_wrap_tiled)
 
-    h, w = 192, 384
-    img = rng.integers(0, 256, (h, w, 4), np.uint8)
-    for fx, fy in ((7.3, -2.6), (-5.9, 4.1), (200.0, 0.0), (-200.0, 3.0)):
-        flow = np.broadcast_to(np.array([fx, fy], np.float32), (h, w, 2))
-        exact = np.asarray(sample_nearest_wrap(
-            jnp.asarray(img), jnp.asarray(flow), 1.0))
-        tiled = np.asarray(sample_nearest_wrap_tiled(
-            jnp.asarray(img), jnp.asarray(flow), 1.0, max_off=256))
-        np.testing.assert_array_equal(tiled, exact, err_msg=f"{fx},{fy}")
+    # both tile-multiple and partial-edge-tile shapes: the second shape
+    # (400x900: 400 % 64 != 0, 900 % 128 != 0) regression-guards the
+    # per-tile mean-offset skew from zero-padded partial tiles
+    for h, w in ((192, 384), (400, 900)):
+        img = rng.integers(0, 256, (h, w, 4), np.uint8)
+        for fx, fy in ((7.3, -2.6), (-5.9, 4.1), (200.0, 0.0), (-200.0, 3.0)):
+            flow = np.broadcast_to(np.array([fx, fy], np.float32), (h, w, 2))
+            exact = np.asarray(sample_nearest_wrap(
+                jnp.asarray(img), jnp.asarray(flow), 1.0))
+            tiled = np.asarray(sample_nearest_wrap_tiled(
+                jnp.asarray(img), jnp.asarray(flow), 1.0, max_off=256))
+            np.testing.assert_array_equal(
+                tiled, exact, err_msg=f"{h}x{w} {fx},{fy}")
 
 
 def test_tiled_sampler_close_to_exact_on_smooth_flow(rng):
@@ -164,3 +168,25 @@ def test_combine_large_canvas_uses_tiled_sampler_consistently(rng):
     mismatch = (np.abs(ours[..., :3].astype(int)
                        - ref[..., :3].astype(int)) > 1).any(axis=-1).mean()
     assert mismatch < 0.02, mismatch
+
+
+def test_chain_traces_each_program_once():
+    """A numpy-input 6-photo chain must trace each windowed program
+    exactly once (regression: mismatched committed/uncommitted input
+    placements gave _geometry_jit and _finish_windowed_jit a second
+    trace -- and on TPU a second executable -- per chain)."""
+    from panorama_opticalflow_tpu.utils import io as pio
+
+    h, w = 96, 320
+    photos, top = pio.synthesize_fisheye_set(h, w, n=5, seed=3,
+                                             with_top=True)
+    cfg = StitchConfig()
+    before = {f: getattr(pipeline, f)._cache_size()
+              for f in ("_geometry_jit", "_blend_window_jit",
+                        "_flows_window_jit", "_finish_windowed_jit")}
+    out = pipeline.stitch_six([np.asarray(p) for p in photos],
+                              np.asarray(top), cfg)
+    np.asarray(out)
+    for f, n0 in before.items():
+        n1 = getattr(pipeline, f)._cache_size()
+        assert n1 - n0 <= 1, (f, n0, n1)

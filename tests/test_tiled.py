@@ -131,3 +131,59 @@ def test_tiled_stitch_pair_matches_untiled(rng):
     # overwhelming majority of interior pixels bit-identical
     frac_same = (out[inner] == ref[inner]).mean()
     assert frac_same > 0.97, frac_same
+
+
+def test_tiled_stitch_pair_windowed_matches_untiled_windowed():
+    """The sharded path with a planned overlap column window (the
+    work-saving crop of stitch_pair_auto, ported to the tiled body) must
+    match the single-chip windowed program."""
+    from panorama_opticalflow_tpu.models import crop
+
+    mesh = make_mesh(N)
+    h, w = 128, 640
+    photos, top = pio.synthesize_fisheye_set(h, w, n=5, seed=3,
+                                             with_top=True)
+    cfg = StitchConfig()
+    jp = [jnp.asarray(p) for p in photos]
+    wins = crop.plan_chain_windows(jp, jnp.asarray(top), cfg)
+    assert wins[1][1] < w          # a real window
+    assert wins[1][2]              # gather-safe branch exercised
+
+    r0 = pipeline.stitch_pair_auto(jp[0], jnp.asarray(top), cfg,
+                                   window=wins[0])
+    ref = np.asarray(pipeline.stitch_pair_auto(jp[1], r0, cfg,
+                                               window=wins[1]))
+    tc = tiled.TileConfig(min_tiled_rows=8, level_halo=32)
+    out = np.asarray(tiled.tiled_stitch_pair(jp[1], r0, cfg, mesh, AXIS,
+                                             tc, window=wins[1]))
+    assert out.shape == ref.shape
+    inner = np.s_[8:-8]
+    s = ssim(out[inner], ref[inner])
+    assert s >= 0.995, s
+    frac_same = (out[inner] == ref[inner]).mean()
+    assert frac_same > 0.97, frac_same
+
+
+def test_tiled_stitch_pair_medium_canvas_matches_untiled():
+    """>= 1 MP tiled == untiled parity (VERDICT r2 gate: the small-canvas
+    gates left medium shapes uncovered).  Uses the _fast preset to keep
+    the runtime CI-sized."""
+    from panorama_opticalflow_tpu.models import crop
+
+    mesh = make_mesh(N)
+    h, w = 896, 1152   # 1.03 MP
+    photos, top = pio.synthesize_fisheye_set(h, w, n=5, seed=7,
+                                             with_top=True)
+    cfg = StitchConfig(flow_alg="pixflow_low_fast")
+    jl, jr = jnp.asarray(photos[0]), jnp.asarray(top)
+    win = crop.pair_window(np.asarray(
+        stitcher.match_images(jl, jr)), cfg)
+    assert win[1] < w
+    ref = np.asarray(pipeline.stitch_pair_auto(jl, jr, cfg, window=win))
+    tc = tiled.TileConfig.for_params(cfg.flow_params, min_tiled_rows=16)
+    out = np.asarray(tiled.tiled_stitch_pair(jl, jr, cfg, mesh, AXIS, tc,
+                                             window=win))
+    assert out.shape == ref.shape
+    inner = np.s_[16:-16]
+    s = ssim(out[inner], ref[inner])
+    assert s >= 0.995, s

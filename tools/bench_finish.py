@@ -22,7 +22,8 @@ import jax.numpy as jnp  # noqa: E402
 from panorama_opticalflow_tpu.models import novel_view, stitcher  # noqa: E402
 from panorama_opticalflow_tpu.ops.distance import (  # noqa: E402
     eight_ray_min_distance, two_class_hole_search)
-from panorama_opticalflow_tpu.ops.warp import sample_nearest_wrap  # noqa: E402
+from panorama_opticalflow_tpu.ops.warp import (  # noqa: E402
+    sample_nearest_wrap, sample_nearest_wrap_tiled)
 from panorama_opticalflow_tpu.utils.config import StitchConfig  # noqa: E402
 from tools.bench_micro import device_time  # noqa: E402
 
@@ -47,9 +48,16 @@ def main():
     img2_f = jnp.asarray(rng.randint(0, 255, (h, w, 4), dtype=np.uint8))
     merged_f = jnp.asarray(rng.randint(0, 255, (h, w, 4), dtype=np.uint8))
 
+    # combine_novel_views routes to the tiled sampler at these shapes:
+    # time it as the per-combine cost, and the exact gather for contrast
+    t = device_time(lambda i, f, b: sample_nearest_wrap_tiled(i, f, b),
+                    img_w, flow_w, blend_w, iters=6)
+    print(f"sample_nearest_wrap_tiled {h}x{width}: {t*1e3:7.2f} ms "
+          f"(x2 per combine)")
     t = device_time(lambda i, f, b: sample_nearest_wrap(i, f, b),
                     img_w, flow_w, blend_w, iters=6)
-    print(f"sample_nearest_wrap {h}x{width}:  {t*1e3:7.2f} ms (x2 per combine)")
+    print(f"sample_nearest_wrap (exact gather): {t*1e3:7.2f} ms (not the "
+          f"production path at this size)")
 
     t = device_time(novel_view.combine_novel_views,
                     img_w, img2_w, flow_w, flow2_w, blend_w, iters=6)
