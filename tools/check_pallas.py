@@ -55,9 +55,69 @@ def check_shardmap():
           f"SSIM {s:.4f} {'OK' if s >= 0.995 else 'FAIL'}")
 
 
+def check_fused():
+    """Hardware check of the round-3 fused kernels (median5+diffusion;
+    in-kernel blurred-flow target) vs the jnp compositions."""
+    rng = np.random.default_rng(1)
+    params = flow_params_by_name("pixflow_low")
+    H, W = 512, 1024
+
+    # fused median + diffusion
+    x = rng.standard_normal((4, H, W)).astype(np.float32)
+    c = rng.random((2, H, W)).astype(np.float32)
+    med = np.stack([np.asarray(im.median5(jnp.asarray(x[k])))
+                    for k in range(4)])
+    blur = np.stack([np.asarray(im.gaussian_blur(
+        jnp.asarray(med[k]), params.blurred_flow_kernel_width,
+        params.blurred_flow_sigma)) for k in range(4)])
+    cc = np.repeat(c, 2, axis=0)
+    ref = cc * blur + (1.0 - cc) * med
+    got = np.asarray(jax.jit(kernels.median5_diffuse_pallas)(
+        jnp.asarray(x), jnp.asarray(c)))
+    inner = np.s_[:, 8:-8, 8:-8]
+    err = np.abs(ref[inner] - got[inner]).max()
+    print(f"median5_diffuse: max err inner {err:.2e} "
+          f"{'OK' if err < 1e-4 else 'FAIL'}")
+
+    # in-kernel blurred-flow target
+    mk = lambda s=0.1: rng.standard_normal((H, W)).astype(np.float32) * s
+    i0x, i0y, w1x, w1y = mk(), mk(), mk(), mk()
+    fx, fy = mk(0.5), mk(0.5)
+    bx, by = fx + mk(0.1), fy + mk(0.1)
+    mask = (rng.random((H, W)) > 0.1).astype(np.float32)
+    bfx = np.asarray(im.gaussian_blur(
+        jnp.asarray(bx), params.blurred_flow_kernel_width,
+        params.blurred_flow_sigma))
+    bfy = np.asarray(im.gaussian_blur(
+        jnp.asarray(by), params.blurred_flow_kernel_width,
+        params.blurred_flow_sigma))
+    args = [jnp.asarray(a) for a in (fx, fy, bx, by, w1x, w1y, i0x, i0y)]
+    rfx, rfy = jax.jit(lambda: kernels.relax_phase_pallas(
+        *args, jnp.asarray(bfx), jnp.asarray(bfy), jnp.asarray(mask),
+        params, 3, 2))()
+    gfx, gfy = jax.jit(lambda: kernels.relax_phase_pallas(
+        *args, None, None, jnp.asarray(mask),
+        params, 3, 2, fuse_bf=True))()
+    inner = np.s_[16:-16, 16:-16]
+    err = max(np.abs(np.asarray(rfx) - np.asarray(gfx))[inner].max(),
+              np.abs(np.asarray(rfy) - np.asarray(gfy))[inner].max())
+    print(f"relax fuse_bf: max err inner {err:.2e} "
+          f"{'OK' if err < 1e-4 else 'FAIL'}")
+
+    # timing at 10 MP
+    from tools.bench_micro import device_time as dt
+    big = rng.standard_normal((2, 2048, 2496)).astype(np.float32)
+    bigc = rng.random((1, 2048, 2496)).astype(np.float32)
+    t = dt(kernels.median5_diffuse_pallas, big, bigc, iters=10)
+    print(f"median5_diffuse 10MP: {t*1e3:7.2f} ms (vs median+XLA blur+lerp)")
+
+
 def main():
     if "--shardmap" in sys.argv:
         check_shardmap()
+        return
+    if "--fused" in sys.argv:
+        check_fused()
         return
 
     rng = np.random.default_rng(0)
