@@ -140,6 +140,62 @@ def stitch_pair_auto(
                                 roll_j, width, cfg, gather_windowed=gsafe)
 
 
+def _stitch_pair_windowed_body(image_l, image_r, roll, width: int, gsafe,
+                               cfg: StitchConfig):
+    """One full windowed pair stitch as a single traced body: geometry,
+    windowed blend field, windowed bidirectional flow, windowed combine,
+    composite.  ``roll`` is a traced int32 scalar, ``width`` static, and
+    ``gsafe`` a traced bool -- the gather hole search runs on the window
+    (bit-identical when crop.gather_window_safe held at plan time) or
+    the full canvas under ``lax.cond``.  Same math as the split
+    _geometry/_blend_window/_flows_window/_finish_windowed programs, in
+    ONE program -- the chain driver scans it so a whole 6-photo stitch
+    is a single dispatch (the split path costs 4 dispatches/pair, which
+    through the dev tunnel's 40-100 ms RPC dominates small stages)."""
+    from panorama_opticalflow_tpu.models.crop import cropped_flows_window
+
+    h, w = image_l.shape[:2]
+    canvas_map = stitcher.match_images(image_l, image_r)
+    ol = stitcher.extract_overlap(image_l, canvas_map)
+    orr = stitcher.extract_overlap(image_r, canvas_map)
+    blend_w, _ = stitcher.generate_blend(canvas_map, cfg,
+                                         window=(roll, width))
+    flow_lr_w, flow_rl_w = cropped_flows_window(ol, orr, roll, width, cfg)
+
+    def win(a):
+        return jnp.roll(a, -roll, axis=1)[:, :width]
+
+    merged_w = novel_view.combine_novel_views(
+        win(ol), win(orr), flow_lr_w, flow_rl_w, blend_w)
+    merged = jnp.zeros((h, w, 4), jnp.uint8)
+    merged = jax.lax.dynamic_update_slice(merged, merged_w, (0, 0, 0))
+    merged = jnp.roll(merged, roll, axis=1)
+    return jax.lax.cond(
+        gsafe,
+        lambda: stitcher.gather_composite(canvas_map, image_l, image_r,
+                                          merged, cfg,
+                                          window=(roll, width)),
+        lambda: stitcher.gather_composite(canvas_map, image_l, image_r,
+                                          merged, cfg))
+
+
+@partial(jax.jit, static_argnames=("cfg", "width"))
+def _chain_windowed_jit(photos, top, rolls, gsafes, width: int,
+                        cfg: StitchConfig):
+    """The whole iterative chain as ONE program: lax.scan of the fused
+    windowed pair body over the photos, with the per-pair planned rolls
+    and gather-safety flags as scan inputs.  Valid when every pair's
+    planned window width coincides (they are bucketed to 256-multiples,
+    so they almost always do)."""
+    def step(acc, xs):
+        img_l, roll, gs = xs
+        return _stitch_pair_windowed_body(img_l, acc, roll, width, gs,
+                                          cfg), None
+
+    out, _ = jax.lax.scan(step, top, (photos, rolls, gsafes))
+    return out
+
+
 def stitch_pair_debug(
     image_l: jax.Array, image_r: jax.Array, cfg: StitchConfig
 ) -> tuple[jax.Array, dict]:
@@ -215,6 +271,21 @@ def stitch_six(
         from panorama_opticalflow_tpu.models import crop
 
         windows = crop.plan_chain_windows(images, top, cfg)
+        h, w = top.shape[:2]
+        widths = {wd for _, wd, _ in windows}
+        if on_part is None and len(widths) == 1 and min(widths) < w:
+            # all pairs share one window bucket and nobody needs the
+            # intermediates: run the WHOLE chain as one scanned program
+            # (one dispatch, one executable)
+            width = next(iter(widths))
+            dev = jax.devices()[0]
+            photos_j = jax.device_put(
+                jnp.stack([jnp.asarray(p) for p in images]), dev)
+            top_j = jax.device_put(jnp.asarray(top), dev)
+            rolls = jnp.asarray([r for r, _, _ in windows], jnp.int32)
+            gsafes = jnp.asarray([g for _, _, g in windows], bool)
+            return _chain_windowed_jit(photos_j, top_j, rolls, gsafes,
+                                       width, cfg)
         for i, (image_l, window) in enumerate(zip(images, windows), start=1):
             result = stitch_pair_auto(image_l, result, cfg, window=window)
             if on_part is not None:

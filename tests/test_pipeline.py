@@ -190,3 +190,24 @@ def test_chain_traces_each_program_once():
     for f, n0 in before.items():
         n1 = getattr(pipeline, f)._cache_size()
         assert n1 - n0 <= 1, (f, n0, n1)
+
+
+def test_fused_chain_matches_per_pair_path():
+    """stitch_six's one-dispatch scanned chain (all pairs share a window
+    bucket) must be bit-identical to the per-pair program path."""
+    from panorama_opticalflow_tpu.models import crop
+
+    h, w = 128, 640
+    photos, top = pio.synthesize_fisheye_set(h, w, n=5, seed=3,
+                                             with_top=True)
+    cfg = StitchConfig(flow_alg="pixflow_low_fast")
+    jp = [jnp.asarray(p) for p in photos]
+    wins = crop.plan_chain_windows(jp, jnp.asarray(top), cfg)
+    assert len({wd for _, wd, _ in wins}) == 1 and wins[0][1] < w
+
+    parts = []
+    ref = np.asarray(pipeline.stitch_six(
+        jp, jnp.asarray(top), cfg, on_part=lambda i, r: parts.append(i)))
+    out = np.asarray(pipeline.stitch_six(jp, jnp.asarray(top), cfg))
+    assert parts == [1, 2, 3, 4, 5]
+    np.testing.assert_array_equal(out, ref)
