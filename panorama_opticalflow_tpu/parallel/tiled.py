@@ -198,20 +198,31 @@ def make_row_resize_plan(h_from: int, h_to: int, n: int, method: str
 
 
 def _tiled_resize_rows(x: jax.Array, plan: RowResizePlan, axis: str) -> jax.Array:
-    """Axis-0 resize of a row tile using the static global-index plan."""
+    """Axis-0 resize of a row tile using the static global-index plan.
+
+    The K-tap plan is materialised as a banded matrix applied on the
+    MXU (same trick as models.pixflow._plan_to_matrix) instead of a
+    row gather: XLA's dynamic gather runs ~100x below VPU throughput on
+    TPU and made the sharded pyramid's resizes dominate the whole tiled
+    stitch (45 s at 2.2 MP on a 1-device mesh, r3 measurement).  Tap
+    accumulation order is identical to the gather formulation, so
+    weights and sums match bit-for-bit up to matmul reduction order."""
     d = jax.lax.axis_index(axis)
     ext = _exchange_rows(x, plan.halo, axis)
+    k = plan.idx.shape[1]
     idx = jax.lax.dynamic_slice(
-        jnp.asarray(plan.idx), (d * plan.h_b, 0), (plan.h_b, plan.idx.shape[1]))
+        jnp.asarray(plan.idx), (d * plan.h_b, 0), (plan.h_b, k))
     w = jax.lax.dynamic_slice(
-        jnp.asarray(plan.w), (d * plan.h_b, 0), (plan.h_b, plan.w.shape[1]))
-    local = idx - (d * plan.h_a - plan.halo)
-    local = jnp.clip(local, 0, ext.shape[0] - 1)
-    k = idx.shape[1]
-    g = jnp.take(ext, local.reshape(-1), axis=0)
-    g = g.reshape((plan.h_b, k) + x.shape[1:])
-    wexp = w.reshape((plan.h_b, k) + (1,) * (x.ndim - 1))
-    return (g * wexp).sum(axis=1)
+        jnp.asarray(plan.w), (d * plan.h_b, 0), (plan.h_b, k))
+    local = jnp.clip(idx - (d * plan.h_a - plan.halo), 0, ext.shape[0] - 1)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (plan.h_b, ext.shape[0]), 1)
+    a = jnp.zeros((plan.h_b, ext.shape[0]), jnp.float32)
+    for m in range(k):
+        a = a + jnp.where(r_iota == local[:, m:m + 1],
+                          w[:, m:m + 1].astype(jnp.float32), 0.0)
+    flat = ext.astype(jnp.float32).reshape(ext.shape[0], -1)
+    out = jnp.dot(a, flat, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape((plan.h_b,) + x.shape[1:])
 
 
 def _tiled_resize_cols(x: jax.Array, out_w: int, method: str) -> jax.Array:
@@ -855,8 +866,14 @@ def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
     n = int(np.prod([mesh.shape[a] for a in (axis,)]))
     hp = _cdiv(h, n) * n
     pad = ((0, hp - h), (0, 0), (0, 0))
-    lp = jnp.pad(image_l, pad)
-    rp = jnp.pad(image_r, pad)
+    # place inputs onto the mesh explicitly: callers may hand over
+    # arrays committed to a single device (e.g. another pipeline
+    # stage's output), which would otherwise conflict with the
+    # mesh-spanning shard_map
+    from jax.sharding import NamedSharding
+    sh = NamedSharding(mesh, P(axis))
+    lp = jax.device_put(jnp.pad(image_l, pad), sh)
+    rp = jax.device_put(jnp.pad(image_r, pad), sh)
 
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
     # annotation, so the vma checker rejects the Pallas branch inside

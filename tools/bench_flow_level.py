@@ -10,8 +10,8 @@ This tool device-times each component of patch_match_level_batched at
 two level shapes and fits cost = a*area + b to locate the overhead.
 
 Usage: python tools/bench_flow_level.py [WxH of the flow canvas]
-       (default 2304x2000 -- the solver-resolution window of the
-        9000x4000 headline's 4608-wide crop window at downscale 0.5)
+       (default 1792x2000 -- the solver-resolution window of the
+        9000x4000 headline's 3584-wide crop window at downscale 0.5)
 """
 
 import sys
@@ -80,6 +80,11 @@ def level_components(h, w, params, iters=6):
         out["median(x%d: phases)" % params.relax_phases] = \
             params.relax_phases * t
 
+        cpl = jnp.asarray(rng.rand(2, h, w).astype(np.float32))
+        t = device_time(lambda p, c: kernels.median5_diffuse_pallas(p, c),
+                        planes, cpl, iters=iters)
+        out["median5_diffuse(fused r3)"] = t
+
     nh, nw = int(h / 0.9 + 0.5), int(w / 0.9 + 0.5)
     t = device_time(lambda p: jax.vmap(
         lambda x: im.resize(x, (nh, nw), "cubic"))(p),
@@ -103,7 +108,7 @@ def whole_level(h, w, params, iters=4):
 
 def main():
     w, h = (int(t) for t in (sys.argv[1] if len(sys.argv) > 1
-                             else "2304x2000").split("x"))
+                             else "1792x2000").split("x"))
     params = flow_params_by_name("pixflow_low")
     sizes = pixflow.pyramid_sizes(h, w, params)
     areas = [sh * sw for sh, sw in sizes]
