@@ -34,6 +34,7 @@ mode; (b) flow sampling in the relaxation clamps to the halo extent, so
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from functools import partial
 
@@ -85,10 +86,21 @@ class TileConfig:
       (asserted by the tiled solvers).  The default covers the default
       FlowParams schedule (2 + 7 + 1*(3+2) + 7 = 21 hard radius) with
       27 rows of |flow_y| sampling margin.
+    use_pallas_in_shardmap: let the sharded solvers call the Pallas
+      kernels.  Default OFF on this toolchain: the full tiled solver
+      with Mosaic custom-calls inside shard_map miscompiles on the axon
+      v5e backend -- 100% NaN flow at e.g. a 586x512 extended level with
+      real pyramid data, while (a) the identical level computes clean
+      OUTSIDE shard_map on the same data, (b) the kernels alone inside
+      shard_map are bit-exact on random data, and (c) the jnp path
+      inside shard_map is clean (r3 probes, probe_nan*_r3.log).  The
+      jnp hat path measures within noise of the kernels at sharded
+      per-device level sizes, so correctness costs ~nothing here.
     """
 
     min_tiled_rows: int = 48
     level_halo: int = 48
+    use_pallas_in_shardmap: bool = False
 
     @classmethod
     def for_params(cls, params: FlowParams, **kw) -> "TileConfig":
@@ -413,6 +425,8 @@ def tiled_compute_optical_flow(
     assert h_loc * n >= h_global
     assert tc.level_halo >= derive_level_halo(params, flow_sample_margin=0), \
         (tc.level_halo, derive_level_halo(params, flow_sample_margin=0))
+    if not tc.use_pallas_in_shardmap:
+        params = dataclasses.replace(params, use_pallas=False)
     dh = int(h_global * params.downscale_factor)
     dw = int(w * params.downscale_factor)
 
@@ -532,6 +546,8 @@ def tiled_compute_optical_flow_pair(
     assert h_loc * n >= h_global
     assert tc.level_halo >= derive_level_halo(params, flow_sample_margin=0), \
         (tc.level_halo, derive_level_halo(params, flow_sample_margin=0))
+    if not tc.use_pallas_in_shardmap:
+        params = dataclasses.replace(params, use_pallas=False)
     dh = int(h_global * params.downscale_factor)
     dw = int(w * params.downscale_factor)
 
@@ -875,25 +891,43 @@ def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
     lp = jax.device_put(jnp.pad(image_l, pad), sh)
     rp = jax.device_put(jnp.pad(image_r, pad), sh)
 
-    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
-    # annotation, so the vma checker rejects the Pallas branch inside
-    # shard_map (kernels are per-tile local; the check adds nothing here)
     if window is not None and window[1] < w:
         roll, width, gsafe = (window if len(window) == 3
                               else (*window, False))
-        body = partial(_tiled_stitch_pair_body, cfg=cfg, axis=axis, n=n,
-                       h_global=h, tc=tc, width=width,
-                       gather_windowed=gsafe)
-        fn = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis), P()),
-                       out_specs=P(axis), check_vma=False)
-        out = jax.jit(fn)(lp, rp, jnp.asarray(roll, jnp.int32))
+        fn = _tiled_stitch_jit(mesh, axis, n, h, cfg, tc, width,
+                               bool(gsafe))
+        out = fn(lp, rp, jnp.asarray(roll, jnp.int32))
     else:
-        body = partial(_tiled_stitch_pair_body, cfg=cfg, axis=axis, n=n,
-                       h_global=h, tc=tc)
-        fn = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
-                       out_specs=P(axis), check_vma=False)
-        out = jax.jit(fn)(lp, rp)
+        fn = _tiled_stitch_jit(mesh, axis, n, h, cfg, tc, None, False)
+        out = fn(lp, rp)
     return out[:h]
+
+
+@functools.lru_cache(maxsize=None)
+def _tiled_stitch_jit(mesh, axis: str, n: int, h_global: int,
+                      cfg: StitchConfig, tc: TileConfig,
+                      width: int | None, gsafe: bool):
+    """Cached jitted sharded-stitch program.
+
+    Building `jax.jit(shard_map(partial(...)))` inline on every
+    tiled_stitch_pair call defeated jit's callable-identity cache: each
+    call RETRACED the full program (tens of seconds at 2+ MP) even when
+    the persistent XLA cache supplied the executable.  check_vma=False:
+    pallas_call out_shapes carry no varying-mesh-axes annotation, so
+    the vma checker rejects the Pallas branch inside shard_map (kernels
+    are per-tile local; the check adds nothing here)."""
+    if width is not None:
+        body = partial(_tiled_stitch_pair_body, cfg=cfg, axis=axis, n=n,
+                       h_global=h_global, tc=tc, width=width,
+                       gather_windowed=gsafe)
+        return jax.jit(shard_map(body, mesh=mesh,
+                                 in_specs=(P(axis), P(axis), P()),
+                                 out_specs=P(axis), check_vma=False))
+    body = partial(_tiled_stitch_pair_body, cfg=cfg, axis=axis, n=n,
+                   h_global=h_global, tc=tc)
+    return jax.jit(shard_map(body, mesh=mesh,
+                             in_specs=(P(axis), P(axis)),
+                             out_specs=P(axis), check_vma=False))
 
 
 def tiled_stitch_pair_auto(image_l: jax.Array, image_r: jax.Array,

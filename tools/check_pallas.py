@@ -47,12 +47,25 @@ def check_shardmap():
         level_halo=tiled.derive_level_halo(cfg.flow_params,
                                            flow_sample_margin=0))
 
+    import dataclasses
+
     mesh = make_mesh(1)
-    out = np.asarray(tiled.tiled_stitch_pair(l, r, cfg, mesh, "y", tc))
     ref = np.asarray(pipeline.stitch_pair(l, r, cfg))
+    out = np.asarray(tiled.tiled_stitch_pair(l, r, cfg, mesh, "y", tc))
     s = ssim(out[..., :3].astype(np.float32), ref[..., :3].astype(np.float32))
-    print(f"tiled_stitch_pair (1-dev mesh, Pallas in shard_map) vs untiled: "
-          f"SSIM {s:.4f} {'OK' if s >= 0.995 else 'FAIL'}")
+    print(f"tiled_stitch_pair (1-dev mesh, production jnp-in-shard_map) vs "
+          f"untiled: SSIM {s:.4f} {'OK' if s >= 0.995 else 'FAIL'}")
+    # canary for the axon Mosaic-in-shard_map miscompile (NaN flows at
+    # some shapes/data -- see TileConfig.use_pallas_in_shardmap): when
+    # this starts passing at full-canvas real-data configs, the default
+    # can be flipped back on
+    tck = dataclasses.replace(tc, use_pallas_in_shardmap=True)
+    outk = np.asarray(tiled.tiled_stitch_pair(l, r, cfg, mesh, "y", tck))
+    sk = ssim(outk[..., :3].astype(np.float32),
+              ref[..., :3].astype(np.float32))
+    print(f"tiled_stitch_pair (Pallas in shard_map canary): SSIM {sk:.4f} "
+          f"{'OK' if sk >= 0.995 else 'MISCOMPILE (known, kernels off in '
+          'shard_map by default)'}")
 
 
 def check_fused():
