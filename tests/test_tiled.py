@@ -187,3 +187,24 @@ def test_tiled_stitch_pair_medium_canvas_matches_untiled():
     inner = np.s_[16:-16]
     s = ssim(out[inner], ref[inner])
     assert s >= 0.995, s
+
+
+def test_tiled_stitch_jit_program_is_cached():
+    """tiled_stitch_pair must reuse one jitted program across calls
+    (regression: an inline jax.jit(shard_map(partial(...))) per call
+    retraced the full sharded program -- ~45 s per stitch at 2.2 MP on
+    the TPU)."""
+    mesh = make_mesh(N)
+    h, w = 64, 160
+    photos = pio.synthesize_four_input_set(h, w, seed=2)
+    il, ir = pipeline.compose_four(jnp.stack([jnp.asarray(p)
+                                              for p in photos]))
+    cfg = StitchConfig()
+    tc = tiled.TileConfig(min_tiled_rows=8, level_halo=32)
+    tiled._tiled_stitch_jit.cache_clear()
+    np.asarray(tiled.tiled_stitch_pair(il, ir, cfg, mesh, AXIS, tc))
+    np.asarray(tiled.tiled_stitch_pair(il, ir, cfg, mesh, AXIS, tc))
+    info = tiled._tiled_stitch_jit.cache_info()
+    assert info.misses == 1 and info.hits >= 1, info
+    fn = tiled._tiled_stitch_jit(mesh, AXIS, N, h, cfg, tc, None, False)
+    assert fn._cache_size() == 1, fn._cache_size()
