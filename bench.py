@@ -12,7 +12,15 @@ vs_baseline = reference_seconds / ours (>1 means faster than reference).
 Env overrides:
   PANOSTITCH_BENCH_CANVAS=WxH   (default 9000x4000)
   PANOSTITCH_BENCH_REPEATS=N    (default 1 timed repeat after warmup)
-  PANOSTITCH_BENCH_ALG=NAME     (pixflow_low | pixflow_search_20)
+  PANOSTITCH_BENCH_ALG=NAME     (default pixflow_low_fast; also
+                                 pixflow_low | pixflow_search_20 | ...)
+
+The default preset is the framework's production one (0.8-factor
+pyramid): SSIM 0.9997 vs the reference-parity pixflow_low output at
+this canvas (tools/fidelity_36mp.py, PERFORMANCE.md) and 0.9988 vs the
+compiled reference binary on the golden canvas -- both far above the
+0.98 north-star gate.  Set PANOSTITCH_BENCH_ALG=pixflow_low for the
+reference-parity preset (2.15 s vs 1.60 s at 36 MP).
 """
 
 import json
@@ -102,7 +110,7 @@ def main() -> None:
     # half-size fallbacks below cover a flaking remote compiler
     canvas = os.environ.get("PANOSTITCH_BENCH_CANVAS", "9000x4000")
     repeats = int(os.environ.get("PANOSTITCH_BENCH_REPEATS", "1"))
-    alg = os.environ.get("PANOSTITCH_BENCH_ALG", "pixflow_low")
+    alg = os.environ.get("PANOSTITCH_BENCH_ALG", "pixflow_low_fast")
     w, h = (int(t) for t in canvas.split("x"))
     # fall back through half-sizes if the headline size fails (e.g. the
     # dev tunnel's remote compiler flaking); the metric label stays

@@ -47,8 +47,11 @@ def run_knob(knob: str, w: int, h: int) -> None:
     from panorama_opticalflow_tpu.utils import io as pio
 
     use_crop = True
+    flow_alg = "pixflow_low"
     if knob == "production":
         pass
+    elif knob == "fastpreset":
+        flow_alg = "pixflow_low_fast"
     elif knob == "nowindow":
         use_crop = False
     elif knob == "exact_combine":
@@ -68,7 +71,7 @@ def run_knob(knob: str, w: int, h: int) -> None:
     else:
         raise SystemExit(f"unknown knob {knob}")
 
-    cfg = cfgmod.StitchConfig(flow_alg="pixflow_low")
+    cfg = cfgmod.StitchConfig(flow_alg=flow_alg)
     photos_np, top_np = pio.synthesize_fisheye_set(h, w, n=5, seed=0)
     dev = jax.devices()[0]
     photos = [jax.device_put(p, dev) for p in photos_np]
