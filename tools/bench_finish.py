@@ -4,7 +4,7 @@ headline window shapes (tools/bench_chain.py: finish 258 ms/pair, blend
 135 ms/pair at 9000x4000).
 
 Usage: python tools/bench_finish.py [canvas WxH] [window width]
-       defaults 9000x4000 and 4608 (the measured headline window).
+       defaults 9000x4000 and 3584 (the r3 256-quantized headline window).
 """
 
 import sys
@@ -31,7 +31,7 @@ from tools.bench_micro import device_time  # noqa: E402
 def main():
     w, h = (int(t) for t in (sys.argv[1] if len(sys.argv) > 1
                              else "9000x4000").split("x"))
-    width = int(sys.argv[2]) if len(sys.argv) > 2 else 4608
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 3584
     cfg = StitchConfig()
     rng = np.random.RandomState(0)
 
