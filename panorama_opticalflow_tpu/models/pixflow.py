@@ -410,7 +410,7 @@ def patch_match_level(
     if use_fast:
         from panorama_opticalflow_tpu.ops.pallas import kernels
         from panorama_opticalflow_tpu.ops.relax_fast import (
-            relax_phase_fast, warp_by_flow_tiled)
+            relax_phase_fast, warp_by_flow_auto)
 
         pallas_ok = (kernels.on_tpu() and params.use_pallas
                      and i0.shape[0] * i0.shape[1]
@@ -422,7 +422,7 @@ def patch_match_level(
             # when there is exactly one phase) and a fused kernel does
             # median + diffusion in one HBM round trip
             f_base = flow
-            w1g_warp = warp_by_flow_tiled(i1g, f_base)
+            w1g_warp = warp_by_flow_auto(i1g, f_base, params)
             fx, fy = kernels.relax_phase_pallas(
                 flow[..., 0], flow[..., 1],
                 f_base[..., 0], f_base[..., 1],
@@ -452,7 +452,7 @@ def patch_match_level(
             # re-centre per phase: warp the gradient pair by the current
             # flow once, then relax bounded residuals against it
             f_base = f
-            w1g_warp = warp_by_flow_tiled(i1g, f_base)
+            w1g_warp = warp_by_flow_auto(i1g, f_base, params)
             if pallas_ok:
                 fx, fy = kernels.relax_phase_pallas(
                     f[..., 0], f[..., 1],
@@ -621,7 +621,7 @@ def patch_match_level_batched(
     if use_fast:
         from panorama_opticalflow_tpu.ops.pallas import kernels
         from panorama_opticalflow_tpu.ops.relax_fast import (
-            relax_phase_fast, warp_by_flow_tiled)
+            relax_phase_fast, warp_by_flow_auto)
 
         nb, h, w = imgs.shape
         pallas_ok = (kernels.on_tpu() and params.use_pallas
@@ -631,7 +631,8 @@ def patch_match_level_batched(
             # fused single-phase level (see patch_match_level): in-kernel
             # blurred-flow target + fused median/diffusion round trip
             f_base = flow
-            w1g_warp = jax.vmap(warp_by_flow_tiled)(i1g, f_base)
+            w1g_warp = jax.vmap(
+                lambda g, f: warp_by_flow_auto(g, f, params))(i1g, f_base)
             fx, fy = kernels.relax_phase_pallas(
                 flow[..., 0], flow[..., 1],
                 f_base[..., 0], f_base[..., 1],
@@ -659,7 +660,7 @@ def patch_match_level_batched(
                 med = jax.vmap(im.median5)(_as_planes(f))
             return _from_planes(med, nb)
 
-        vwarp = jax.vmap(warp_by_flow_tiled)
+        vwarp = jax.vmap(lambda g, f: warp_by_flow_auto(g, f, params))
 
         def phase_body(f, _):
             f_base = f

@@ -21,12 +21,34 @@ waste the VPU.
 from __future__ import annotations
 
 import functools
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from panorama_opticalflow_tpu.utils.config import FlowParams
+
+# Workaround for the axon-v5e Mosaic-in-shard_map miscompile (r3,
+# probe_nan*_r3.log / tools/probe_nan_r4.py): kernels embedded in a
+# LARGE manual-sharding (shard_map) program return 100% NaN while the
+# identical kernels in a small program are bit-exact -- consistent with
+# an XLA scheduling/buffer-reuse bug around the Mosaic custom-calls.
+# An optimization_barrier fence on every kernel's operands and results
+# pins their buffers against cross-kernel reordering; measured r4: this
+# makes the full sharded solver bit-clean with kernels enabled at the
+# shapes that previously NaN'd, at no measurable runtime cost.  Export
+# PANOSTITCH_PALLAS_BARRIER=0 to disable (debugging only).
+_BARRIER = os.environ.get("PANOSTITCH_PALLAS_BARRIER", "1") != "0"
+
+
+def _fence(*arrays):
+    """optimization_barrier passthrough (identity when disabled)."""
+    if not _BARRIER:
+        return arrays if len(arrays) != 1 else arrays[0]
+    out = jax.lax.optimization_barrier(tuple(arrays))
+    return out if len(arrays) != 1 else out[0]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -142,8 +164,8 @@ def _median5_impl(x: jax.Array, bucket: bool) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((_MED_TH + 8, _MED_TW + 128), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
-    )(xp)
-    return out[:, :h, :w]
+    )(_fence(xp))
+    return _fence(out)[:, :h, :w]
 
 
 @functools.lru_cache(maxsize=None)
@@ -264,8 +286,8 @@ def _median5_diffuse_impl(x: jax.Array, c: jax.Array, taps, bucket: bool
                         pltpu.VMEM((_MD_TH, _MD_TW), jnp.float32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA(())],
-    )(xp, cp)
-    return out[:, :h, :w]
+    )(*_fence(xp, cp))
+    return _fence(out)[:, :h, :w]
 
 
 @functools.lru_cache(maxsize=None)
@@ -663,7 +685,8 @@ def _relax_phase_impl(
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32)] * 2,
         scratch_shapes=scratch,
-    )(*args, *w1, regs)
+    )(*_fence(*args, *w1, regs))
+    out_fx, out_fy = _fence(out_fx, out_fy)
     return out_fx[:, :h, :w], out_fy[:, :h, :w]
 
 

@@ -249,6 +249,70 @@ def _tiled_resize_cols(x: jax.Array, out_w: int, method: str) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _sharded_strided_first_hit_axis0(mask: jax.Array, step: int,
+                                     reverse: bool, axis: str) -> jax.Array:
+    """Row-sharded twin of ops.distance._strided_first_hit_axis0.
+
+    Each device scans its own rows locally on the stride-decimated view
+    and exchanges only a per-device (step, W) class/column summary --
+    the min (max for reverse) masked decimated position over its rows.
+    The old formulation all_gathered the full global mask and
+    column-sharded full-height scans: collective bytes AND scan work
+    were per-device-constant in the canvas height; here both shrink
+    ~n-fold, and the only collective is an all_gather of
+    n * step * W summary floats.
+
+    Decimation classes are GLOBAL (y mod step): local rows are placed
+    at padded offset (d*h) mod step so the (blocks, step, W) reshape
+    aligns classes across devices; positions are global decimated
+    indices q = y // step, so cross-device combination is one masked
+    min over gathered summaries.  Output: pixel distance (steps *
+    ``step``) to the first True at-or-after (before, for reverse) each
+    row in its class; +inf (-inf never escapes) where none.
+    """
+    n = jax.lax.axis_size(axis)
+    d = jax.lax.axis_index(axis)
+    h, w = mask.shape
+    if step == 1:
+        # degenerate stride: every row is its own class boundary-free
+        # scan; fall through with step 1 (blocks == rows)
+        pass
+    hb = _cdiv(h + step, step) * step
+    sh = (d * h) % step
+    base_q = (d * h - sh) // step  # multiple-of-step global row / step
+
+    buf = jnp.zeros((hb, w), bool)
+    buf = jax.lax.dynamic_update_slice(buf, mask, (sh, 0))
+    nb = hb // step
+    mb = buf.reshape(nb, step, w)
+    # global decimated position of block b on this device
+    q_iota = (jax.lax.broadcasted_iota(jnp.int32, (nb, step, w), 0)
+              + base_q).astype(jnp.float32)
+
+    inf = jnp.float32(jnp.inf)
+    if not reverse:
+        pos = jnp.where(mb, q_iota, inf)
+        local = jax.lax.associative_scan(jnp.minimum, pos, reverse=True,
+                                         axis=0)
+        summary = local[0]                                # (step, w)
+        gath = jax.lax.all_gather(summary, axis, axis=0)  # (n, step, w)
+        dev = jax.lax.broadcasted_iota(jnp.int32, gath.shape, 0)
+        fut = jnp.min(jnp.where(dev > d, gath, inf), axis=0)
+        best = jnp.minimum(local, fut[None])
+        dist = (best - q_iota) * step
+    else:
+        pos = jnp.where(mb, q_iota, -inf)
+        local = jax.lax.associative_scan(jnp.maximum, pos, axis=0)
+        summary = local[-1]                               # (step, w)
+        gath = jax.lax.all_gather(summary, axis, axis=0)
+        dev = jax.lax.broadcasted_iota(jnp.int32, gath.shape, 0)
+        past = jnp.max(jnp.where(dev < d, gath, -inf), axis=0)
+        best = jnp.maximum(local, past[None])
+        dist = (q_iota - best) * step
+    out = dist.reshape(hb, w)
+    return jax.lax.dynamic_slice(out, (sh, 0), (h, w))
+
+
 def _tiled_eight_ray_multi(masks: list, step: int, max_i: float,
                            diag_scale: float, axis: str,
                            h_global: int) -> list:
@@ -257,13 +321,15 @@ def _tiled_eight_ray_multi(masks: list, step: int, max_i: float,
     n * h_local with possible dead pad rows at the bottom; pad rows must
     be False).  Returns a list of M distance fields.
 
-    x scans are row-local.  y and diagonal scans run column-sharded over
-    ONE all-gathered copy of all masks (column-concatenated -- the blend
-    field needs both the L and R class in every call, and one fused
-    gather + one all_to_all per scan direction halves the collective
-    count vs per-mask calls), then return to row sharding with an
-    all_to_all.  Semantics identical to the untiled op, including the
-    reference's row-0/col-0 exclusions for negative directions.
+    x scans are row-local.  y and diagonal scans use the summary-
+    exchange scan (_sharded_strided_first_hit_axis0): shears are
+    row-local (a row's shear shift depends only on its global index), so
+    no full-canvas gather or all_to_all remains -- per-device work and
+    collective bytes now shrink with the mesh instead of staying
+    canvas-sized.  The M masks are column-concatenated so each scan
+    direction runs once.  Semantics identical to the untiled op,
+    including the reference's row-0/col-0 exclusions for negative
+    directions.
     """
     n = jax.lax.axis_size(axis)
     d = jax.lax.axis_index(axis)
@@ -284,56 +350,46 @@ def _tiled_eight_ray_multi(masks: list, step: int, max_i: float,
         d_xm = keep(_strided_first_hit_x(no_col0, step, reverse=True))
         d_x.append(jnp.minimum(d_xp, d_xm))
 
-    # ---- ONE full gather of all masks for the column-sharded scans ----
-    full_cat = jax.lax.all_gather(jnp.concatenate(masks, axis=1), axis,
-                                  axis=0, tiled=True)    # (hp, m*W)
-    fulls = [full_cat[:, k * w:(k + 1) * w] for k in range(m)]
-
-    def col_scan(m_full, strip_w, reverse):
-        """Column-sharded strided scan along axis 0, returned row-sharded."""
-        wp = strip_w * n
-        m_p = jnp.pad(m_full, ((0, 0), (0, wp - m_full.shape[1])))
-        strip = jax.lax.dynamic_slice(m_p, (0, d * strip_w),
-                                      (m_p.shape[0], strip_w))
-        dist = _strided_first_hit_axis0(strip, step, reverse) * 1.0
-        # (hp, strip_w) col-sharded -> (h, wp) row-sharded
-        out = jax.lax.all_to_all(dist, axis, split_axis=0, concat_axis=1,
-                                 tiled=True)
-        return out  # (h, wp); caller slices [:, :needed]
-
-    row0 = jnp.arange(hp)[:, None] == 0
+    # global row-0 / col-0 exclusion masks on LOCAL tiles
+    g_rows = jnp.arange(h)[:, None] + d * h
+    row0 = g_rows == 0
     col0 = jnp.arange(w)[None, :] == 0
 
-    # ---- straight y (one batched scan per direction) ----
-    wc = _cdiv(m * w, n)
-    cat_nr0 = jnp.where(row0, False, full_cat)
-    yp_cat = col_scan(full_cat, wc, False)[:, :m * w]
-    ym_cat = col_scan(cat_nr0, wc, True)[:, :m * w]
+    def scan_cat(parts, reverse):
+        """One summary-exchange scan over column-concatenated masks."""
+        return _sharded_strided_first_hit_axis0(
+            jnp.concatenate(parts, axis=1), step, reverse, axis)
 
-    # ---- diagonals (shear per mask, scan batched) ----
+    # ---- straight y (one batched scan per direction) ----
+    cat = masks
+    cat_nr0 = [jnp.where(row0, False, f) for f in masks]
+    yp_cat = scan_cat(cat, False)
+    ym_cat = scan_cat(cat_nr0, True)
+
+    # ---- diagonals (shear row-locally, scan batched) ----
     sq2 = diag_scale
     ws = w + hp - 1
-    wcs = _cdiv(m * ws, n)
+
+    def shear(mask, sign):
+        return _shear(mask, sign, row_offset=d * h, total_h=hp)
 
     def unshear(dist_rows, sign):
-        # dist_rows: (h, ws) row-sharded sheared distances; roll-based
-        # unshear with the shard's global row offset
         return _unshear(dist_rows, sign, w, row_offset=d * h, total_h=hp)
 
     sh_pp, sh_pp_ex, sh_pm, sh_pm_ex = [], [], [], []
-    for full in fulls:
+    for full in masks:
         f_nr0 = jnp.where(row0, False, full)
         f_nc0 = jnp.where(col0, False, full)
         f_nb = jnp.where(col0, False, f_nr0)
-        sh_pp.append(_shear(full, +1))     # conserves x - y: (+1,+1) down
-        sh_pp_ex.append(_shear(f_nb, +1))  # (-1,-1) up
-        sh_pm.append(_shear(f_nc0, -1))    # conserves x + y: (+1,-1) down
-        sh_pm_ex.append(_shear(f_nr0, -1))  # (-1,+1) up
+        sh_pp.append(shear(full, +1))     # conserves x - y: (+1,+1) down
+        sh_pp_ex.append(shear(f_nb, +1))  # (-1,-1) up
+        sh_pm.append(shear(f_nc0, -1))    # conserves x + y: (+1,-1) down
+        sh_pm_ex.append(shear(f_nr0, -1))  # (-1,+1) up
 
-    dr_cat = col_scan(jnp.concatenate(sh_pp, 1), wcs, False)[:, :m * ws]
-    ul_cat = col_scan(jnp.concatenate(sh_pp_ex, 1), wcs, True)[:, :m * ws]
-    dl_cat = col_scan(jnp.concatenate(sh_pm, 1), wcs, False)[:, :m * ws]
-    ur_cat = col_scan(jnp.concatenate(sh_pm_ex, 1), wcs, True)[:, :m * ws]
+    dr_cat = scan_cat(sh_pp, False)
+    ul_cat = scan_cat(sh_pp_ex, True)
+    dl_cat = scan_cat(sh_pm, False)
+    ur_cat = scan_cat(sh_pm_ex, True)
 
     outs = []
     for k in range(m):
@@ -341,9 +397,9 @@ def _tiled_eight_ray_multi(masks: list, step: int, max_i: float,
             d_x[k],
             jnp.minimum(keep(yp_cat[:, k * w:(k + 1) * w]),
                         keep(ym_cat[:, k * w:(k + 1) * w])))
-        for cat, sign in ((dr_cat, +1), (ul_cat, +1),
-                          (dl_cat, -1), (ur_cat, -1)):
-            dist = keep(cat[:, k * ws:(k + 1) * ws])
+        for cat_d, sign in ((dr_cat, +1), (ul_cat, +1),
+                            (dl_cat, -1), (ur_cat, -1)):
+            dist = keep(cat_d[:, k * ws:(k + 1) * ws])
             out = jnp.minimum(out, unshear(dist, sign) * sq2)
         outs.append(out)
     return outs
@@ -812,7 +868,8 @@ def _tiled_stitch_pair_body(image_l, image_r, roll=None, *,
                             n: int, h_global: int,
                             tc: TileConfig = TileConfig(),
                             width: int | None = None,
-                            gather_windowed: bool = False):
+                            gather_windowed: bool = False,
+                            with_health: bool = False):
     """Local (per-shard) body of the tiled stitch.
 
     With ``width`` (static) and ``roll`` (replicated traced scalar) the
@@ -847,8 +904,11 @@ def _tiled_stitch_pair_body(image_l, image_r, roll=None, *,
         merged = jax.lax.dynamic_update_slice(merged, merged_w, (0, 0, 0))
         merged = jnp.roll(merged, roll, axis=1)
         gw = (roll, width) if gather_windowed else None
-        return _tiled_gather(canvas_map, image_l, image_r, merged, cfg,
-                             axis, h_global, window=gw)
+        out = _tiled_gather(canvas_map, image_l, image_r, merged, cfg,
+                            axis, h_global, window=gw)
+        if with_health:
+            return out, _flow_health(flr_w, frl_w, axis)
+        return out
 
     blend, _ = _tiled_generate_blend(canvas_map, cfg, axis, n, h_global)
     length = w // cfg.flow_extend_div
@@ -860,8 +920,24 @@ def _tiled_stitch_pair_body(image_l, image_r, roll=None, *,
     frl = im.crop_x(frl, length)
 
     merged = _tiled_combine(ol, orr, flr, frl, blend, axis, tc)
-    return _tiled_gather(canvas_map, image_l, image_r, merged, cfg,
-                         axis, h_global)
+    out = _tiled_gather(canvas_map, image_l, image_r, merged, cfg,
+                        axis, h_global)
+    if with_health:
+        return out, _flow_health(flr, frl, axis)
+    return out
+
+
+def _flow_health(flr: jax.Array, frl: jax.Array, axis: str) -> jax.Array:
+    """Global count of non-finite flow values (replicated scalar)."""
+    bad = (jnp.sum(~jnp.isfinite(flr)) + jnp.sum(~jnp.isfinite(frl)))
+    return jax.lax.psum(bad.astype(jnp.int32), axis)
+
+
+# Trips permanently (per process) when a kernels-on sharded stitch
+# produces non-finite flow -- the runtime analogue of the reference's
+# GPU-unusable -> CPU fallback (GPU/OpticalFlow.cpp:132-155) for the
+# axon Mosaic-in-shard_map miscompile class.
+_mosaic_shardmap_tripped = False
 
 
 def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
@@ -878,6 +954,7 @@ def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
     stitch_pair_auto's work-saving crop; pass it to avoid full-canvas
     flow/blend/combine work.
     """
+    global _mosaic_shardmap_tripped
     h, w = image_l.shape[:2]
     n = int(np.prod([mesh.shape[a] for a in (axis,)]))
     hp = _cdiv(h, n) * n
@@ -891,22 +968,45 @@ def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
     lp = jax.device_put(jnp.pad(image_l, pad), sh)
     rp = jax.device_put(jnp.pad(image_r, pad), sh)
 
-    if window is not None and window[1] < w:
-        roll, width, gsafe = (window if len(window) == 3
-                              else (*window, False))
-        fn = _tiled_stitch_jit(mesh, axis, n, h, cfg, tc, width,
-                               bool(gsafe))
-        out = fn(lp, rp, jnp.asarray(roll, jnp.int32))
-    else:
-        fn = _tiled_stitch_jit(mesh, axis, n, h, cfg, tc, None, False)
-        out = fn(lp, rp)
+    if _mosaic_shardmap_tripped and tc.use_pallas_in_shardmap:
+        tc = dataclasses.replace(tc, use_pallas_in_shardmap=False)
+
+    def call(tc_used):
+        # kernels-on runs carry a flow-health scalar so a miscompile is
+        # detected at runtime instead of shipping a garbage panorama
+        health = tc_used.use_pallas_in_shardmap
+        if window is not None and window[1] < w:
+            roll, width, gsafe = (window if len(window) == 3
+                                  else (*window, False))
+            fn = _tiled_stitch_jit(mesh, axis, n, h, cfg, tc_used, width,
+                                   bool(gsafe), health)
+            out = fn(lp, rp, jnp.asarray(roll, jnp.int32))
+        else:
+            fn = _tiled_stitch_jit(mesh, axis, n, h, cfg, tc_used, None,
+                                   False, health)
+            out = fn(lp, rp)
+        return out if health else (out, None)
+
+    out, bad = call(tc)
+    if bad is not None and int(bad) > 0:
+        import logging
+
+        logging.getLogger(__name__).error(
+            "non-finite flow from the kernels-on sharded stitch "
+            "(%d values): Mosaic-in-shard_map miscompile detected; "
+            "falling back to the jnp sharded path for this process "
+            "(see TileConfig.use_pallas_in_shardmap)", int(bad))
+        _mosaic_shardmap_tripped = True
+        out, _ = call(dataclasses.replace(tc,
+                                          use_pallas_in_shardmap=False))
     return out[:h]
 
 
 @functools.lru_cache(maxsize=None)
 def _tiled_stitch_jit(mesh, axis: str, n: int, h_global: int,
                       cfg: StitchConfig, tc: TileConfig,
-                      width: int | None, gsafe: bool):
+                      width: int | None, gsafe: bool,
+                      with_health: bool = False):
     """Cached jitted sharded-stitch program.
 
     Building `jax.jit(shard_map(partial(...)))` inline on every
@@ -915,19 +1015,23 @@ def _tiled_stitch_jit(mesh, axis: str, n: int, h_global: int,
     the persistent XLA cache supplied the executable.  check_vma=False:
     pallas_call out_shapes carry no varying-mesh-axes annotation, so
     the vma checker rejects the Pallas branch inside shard_map (kernels
-    are per-tile local; the check adds nothing here)."""
+    are per-tile local; the check adds nothing here).
+
+    ``with_health`` adds a replicated non-finite-flow count output (the
+    runtime miscompile canary, see tiled_stitch_pair)."""
+    out_specs = (P(axis), P()) if with_health else P(axis)
     if width is not None:
         body = partial(_tiled_stitch_pair_body, cfg=cfg, axis=axis, n=n,
                        h_global=h_global, tc=tc, width=width,
-                       gather_windowed=gsafe)
+                       gather_windowed=gsafe, with_health=with_health)
         return jax.jit(shard_map(body, mesh=mesh,
                                  in_specs=(P(axis), P(axis), P()),
-                                 out_specs=P(axis), check_vma=False))
+                                 out_specs=out_specs, check_vma=False))
     body = partial(_tiled_stitch_pair_body, cfg=cfg, axis=axis, n=n,
-                   h_global=h_global, tc=tc)
+                   h_global=h_global, tc=tc, with_health=with_health)
     return jax.jit(shard_map(body, mesh=mesh,
                              in_specs=(P(axis), P(axis)),
-                             out_specs=P(axis), check_vma=False))
+                             out_specs=out_specs, check_vma=False))
 
 
 def tiled_stitch_pair_auto(image_l: jax.Array, image_r: jax.Array,

@@ -131,6 +131,16 @@ class FlowParams:
     # 1/0.81 area).  1 = off (default: the fine levels dominate runtime,
     # so they stay exact-shaped unless compile time forces pairing).
     scan_fine_rung_levels: int = 1
+    # Levels at or below this pixel count use the global-shift hat warp
+    # (ops/relax_fast.warp_by_flow_shift) instead of the per-tile block
+    # warp for the per-phase gradient recentring: at small levels the
+    # block warp's vmapped dynamic-slice gather is ~4-6 ms of pure
+    # per-level fixed overhead (tools/bench_flow_level.py), while flows
+    # there are level-scaled small enough for a single global integer
+    # offset + hat-pass residual.  Matches scan_max_pixels by default
+    # (the scanned coarse tail is exactly the fixed-overhead-bound
+    # regime).  0 disables.
+    shift_warp_max_pixels: int = 448 * 1024
     # Relax kernel tile (rows, cols).  Bigger tiles amortise the halo
     # overlap (the (64, 256) tile recomputes ~2x; (64, 512) ~1.7x) at
     # the cost of VMEM scratch; bounded by the 16 MB scoped-vmem limit.

@@ -81,6 +81,34 @@ def test_tiled_eight_ray_matches_untiled(rng, step):
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
 
+def test_tiled_eight_ray_multi_summary_scan_exact(rng):
+    """The r4 summary-exchange strided scans (no full-canvas gather)
+    must stay bit-exact vs the untiled op: two masks, a stride that
+    divides neither the local rows nor the canvas height, and pad
+    rows."""
+    mesh = make_mesh(N)
+    h, w, step = 179, 230, 7
+    hp = -(-h // N) * N
+    m1 = np.zeros((hp, w), bool)
+    m2 = np.zeros((hp, w), bool)
+    m1[:h] = rng.random((h, w)) < 0.01
+    m2[:h] = rng.random((h, w)) < 0.008
+    max_i = w / 2.0
+
+    def body(a, b):
+        outs = tiled._tiled_eight_ray_multi([a, b], step, max_i,
+                                            math.sqrt(2.0), AXIS, h)
+        return outs[0], outs[1]
+
+    o1, o2 = _shard_call(mesh, body, m1, m2, out_spec=(P(AXIS), P(AXIS)))
+    for got, mask in ((o1, m1), (o2, m2)):
+        ref = np.asarray(eight_ray_min_distance(jnp.asarray(mask), step,
+                                                max_i, math.sqrt(2.0)))[:h]
+        g = np.asarray(got)[:h]
+        both_inf = np.isinf(g) & np.isinf(ref)
+        assert np.where(both_inf, 0.0, np.abs(g - ref)).max() == 0.0
+
+
 def test_tiled_flow_matches_untiled(rng):
     import dataclasses
 

@@ -28,6 +28,10 @@ def main() -> int:
     ap.add_argument("--canvas", default="1152x512")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--device", action="store_true",
+                    help="also measure DEVICE latency (device-side "
+                         "fori_loop, tunnel-RPC-independent) of the "
+                         "batched and single-pair programs")
     args = ap.parse_args()
     w, h = (int(t) for t in args.canvas.split("x"))
 
@@ -79,6 +83,25 @@ def main() -> int:
         force(batched(ls, rs))
         t_bat = min(t_bat, time.time() - t0)
 
+    extra = {}
+    if args.device:
+        from tools.bench_micro import device_time
+
+        td_one = device_time(
+            lambda a, b: pipeline.stitch_pair(a, b, cfg), ls[0], rs[0],
+            iters=2)
+        td_bat = device_time(
+            lambda a, b: jax.vmap(
+                lambda x, y: pipeline.stitch_pair(x, y, cfg))(a, b),
+            ls, rs, iters=2)
+        extra = {
+            "device_single_s": round(td_one, 4),
+            "device_batched_s": round(td_bat, 4),
+            "device_batch_speedup": round(args.batch * td_one / td_bat, 2),
+            "device_batched_mp_per_s":
+                round(h * w * args.batch / 1e6 / td_bat, 3),
+        }
+
     mp = h * w * args.batch / 1e6
     print(json.dumps({
         "metric": f"batched {args.batch}x pair-stitch {w}x{h} "
@@ -88,6 +111,7 @@ def main() -> int:
         "batched_s": round(t_bat, 4),
         "speedup": round(t_seq / t_bat, 2),
         "batched_mp_per_s": round(mp / t_bat, 3),
+        **extra,
     }))
     return 0
 

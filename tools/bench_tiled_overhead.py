@@ -22,6 +22,9 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--window", action="store_true",
                     help="use the planned overlap column window on both")
+    ap.add_argument("--kernels", action="store_true",
+                    help="enable Pallas kernels inside shard_map "
+                         "(use_pallas_in_shardmap=True)")
     args = ap.parse_args()
     w, h = (int(t) for t in args.canvas.split("x"))
 
@@ -49,6 +52,9 @@ def main() -> int:
     # production halo: includes the |flow_y| sampling margin (a
     # zero-margin run scored SSIM 0.915 on a vertical-flow pair)
     tc = tiled.TileConfig.for_params(cfg.flow_params)
+    if args.kernels:
+        import dataclasses
+        tc = dataclasses.replace(tc, use_pallas_in_shardmap=True)
     mesh = make_mesh(1)
 
     window = None
@@ -93,6 +99,7 @@ def main() -> int:
         "ssim_tiled_vs_untiled": round(float(s), 5),
         "compile_untiled_s": round(c_untiled, 1),
         "compile_tiled_s": round(c_tiled, 1),
+        "kernels_in_shardmap": bool(args.kernels),
     }))
     return 0
 
