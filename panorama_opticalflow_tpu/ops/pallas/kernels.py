@@ -772,3 +772,211 @@ def relax_phase_pallas(
     if squeeze:
         return out_fx[0], out_fy[0]
     return out_fx, out_fy
+
+
+# ---------------------------------------------------------------------------
+# flow-guided warp (per-phase gradient recentring)
+# ---------------------------------------------------------------------------
+#
+# The XLA formulation (ops/relax_fast.warp_by_flow_tiled) spends most of
+# its ~15 ms/level-pair at the 36 MP headline's finest level in the
+# vmapped ~1k-block dynamic_slice gather and the (ty, tx, c, th, tw) ->
+# (c, hp, wp) layout shuffle, not in the hat-pass arithmetic
+# (flowlevel_r3.log).  Here each grid tile DMAs its input window directly
+# at a runtime offset (the tile's rounded mean flow, precomputed by one
+# cheap XLA reduce and passed through SMEM) and applies the separable
+# residual hat passes in VMEM -- one HBM round trip, no gather, no
+# shuffle.
+#
+# Toolchain constraint (probe_nan_r4_top.log): Mosaic requires dynamic
+# DMA starts to be PROVABLY divisible by the (8, 128) tiling -- an
+# arbitrary per-tile offset DMA fails to lower.  So the window is
+# fetched at the floored-aligned start and the remainders are resolved
+# in VMEM: the row remainder (0..7) folds into the y hat pass (8 extra
+# static taps on an 8-row-taller window -- exact, integer shifts land
+# on hat weight 1), and the column remainder (0..127) is peeled with a
+# 0/1 selection matmul on the MXU (exact, ~40 MFLOP/tile ~= 1 us).
+
+
+# Column-remainder peel strategy: "roll" uses the Mosaic dynamic lane
+# rotate (pltpu.roll, a VPU permute); "matmul" uses an exact 0/1
+# selection matmul on the MXU.  Both are exact integer shifts; the
+# hardware probe (tools/check_pallas.py --warp) validates the default.
+_WARP_XSHIFT = os.environ.get("PANOSTITCH_WARP_XSHIFT", "roll")
+
+
+def _warp_tiled_impl(img: jax.Array, flow: jax.Array, tile: tuple[int, int],
+                     margin: int, max_off: int) -> jax.Array:
+    """img (B, H, W, C) warped by flow (B, H, W, 2) -> (B, H, W, C).
+
+    Per-(th, tw) tile: integer offset = clip(rint(mean flow)); bilinear
+    residual via two separable hat passes, clamp-to-edge -- the math of
+    ops/relax_fast.warp_by_flow_tiled with the kernel's (th, tw) grid as
+    the tile decomposition."""
+    nb, h, w, c = img.shape
+    th, tw = tile
+    ty, tx = _cdiv(h, th), _cdiv(w, tw)
+    hp, wp = ty * th, tx * tw
+
+    planes = jnp.pad(jnp.moveaxis(img, 3, 1).reshape(nb * c, h, w),
+                     ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+    flow_p = jnp.pad(flow, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                     mode="edge")
+    mean = flow_p.reshape(nb, ty, th, tx, tw, 2).mean(axis=(2, 4))
+    off = jnp.clip(jnp.rint(mean), -max_off, max_off).astype(jnp.int32)
+
+    pad = max_off + margin + 1
+    bh = th + 2 * margin + 1 + 7      # window rows incl. row remainder
+    bw = tw + 2 * margin + 1          # logical window cols
+    bh_a = -(-bh // 8) * 8
+    bw_a = -(-(bw + 127) // 128) * 128  # cols incl. col remainder
+    # padded-coords DMA start ranges: rows [0, hp - th + pad + max_off
+    # - margin] floored to 8; cols likewise floored to 128.  Pad the
+    # bottom/right so the largest window stays in bounds.
+    pad_b = (hp - th + pad + max_off - margin) // 8 * 8 + bh_a \
+        - hp - pad
+    pad_r = (wp - tw + pad + max_off - margin) // 128 * 128 + bw_a \
+        - wp - pad
+    big = jnp.pad(planes, ((0, 0), (pad, max(pad_b, 0)),
+                           (pad, max(pad_r, 0))), mode="edge")
+    fx = flow_p[..., 0]
+    fy = flow_p[..., 1]
+    lim = margin - 1e-3
+
+    def kernel(big_h, fx_h, fy_h, off_s, o_ref,
+               win_r, xwin_r, fxt_r, fyt_r, accx_r, accy_r, sems):
+        p = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        b = p // c
+        oy = off_s[b, i, j, 1]
+        ox = off_s[b, i, j, 0]
+        ys = i * th + oy + pad - margin
+        xs = j * tw + ox + pad - margin
+        ys_al = pl.multiple_of(ys - jax.lax.rem(ys, 8), 8)
+        xs_al = pl.multiple_of(xs - jax.lax.rem(xs, 128), 128)
+        ry_rem = ys - ys_al                    # 0..7
+        rx_rem = xs - xs_al                    # 0..127
+        cw = pltpu.make_async_copy(
+            big_h.at[p, pl.ds(ys_al, bh_a), pl.ds(xs_al, bw_a)],
+            win_r, sems.at[0])
+        cw.start()
+        cx = pltpu.make_async_copy(
+            fx_h.at[b, pl.ds(i * th, th), pl.ds(j * tw, tw)],
+            fxt_r, sems.at[1])
+        cx.start()
+        cy = pltpu.make_async_copy(
+            fy_h.at[b, pl.ds(i * th, th), pl.ds(j * tw, tw)],
+            fyt_r, sems.at[2])
+        cy.start()
+        cw.wait()
+        cx.wait()
+        cy.wait()
+
+        # resolve the alignment remainders with exact integer shifts, so
+        # xwin[r, q] == image[ys + r, xs + q] (the window the unaligned
+        # DMA would have fetched): dynamic sublane/lane rotates, or 0/1
+        # selection matmuls on the MXU as the fallback strategy
+        if _WARP_XSHIFT == "roll":
+            # negative SUBLANE rotates miscompile on this toolchain
+            # (tools/probe_roll.py: lane +-s and sublane +s are exact,
+            # sublane -s is wrong) -- use the non-negative equivalent
+            ry_up = jax.lax.rem(bh_a - ry_rem, bh_a)
+            shifted = pltpu.roll(pltpu.roll(win_r[:, :], ry_up, axis=0),
+                                 -rx_rem, axis=1)
+            xwin_r[:, :] = shifted[:, :bw_a - 128]
+        else:
+            hi = jax.lax.Precision.HIGHEST
+            r_io = jax.lax.broadcasted_iota(jnp.int32, (bh_a, bh_a), 0)
+            k_io = jax.lax.broadcasted_iota(jnp.int32, (bh_a, bh_a), 1)
+            sel_r = (k_io == r_io + ry_rem).astype(jnp.float32)
+            rows = jax.lax.dot(sel_r, win_r[:, :], precision=hi)
+            k2_io = jax.lax.broadcasted_iota(jnp.int32, (bw_a, bw_a - 128), 0)
+            c_io = jax.lax.broadcasted_iota(jnp.int32, (bw_a, bw_a - 128), 1)
+            sel_c = (k2_io == c_io + rx_rem).astype(jnp.float32)
+            xwin_r[:, :] = jax.lax.dot(rows, sel_c, precision=hi)
+
+        rx = jnp.clip(fxt_r[:, :] - ox.astype(jnp.float32), -lim, lim)
+        ry = jnp.clip(fyt_r[:, :] - oy.astype(jnp.float32), -lim, lim)
+        # rx edge-extended over the window rows (residual is smooth
+        # within a tile): rows [-margin, th + margin], plus alignment
+        # slack rows (computed but never read by the y-pass)
+        rx_ext = jnp.concatenate([rx[:1]] * margin + [rx]
+                                 + [rx[-1:]] * (margin + 8 + bh_a - bh), 0)
+        wv = xwin_r[:, :]
+        accx_r[:, :] = jnp.zeros((bh_a, tw), jnp.float32)
+        for oxi in range(-margin, margin + 1):
+            wgt = _hat(rx_ext - oxi)                     # (bh_a, tw)
+            sl = wv[:, margin + oxi:margin + oxi + tw]
+            accx_r[:, :] = accx_r[:, :] + wgt * sl
+        av = accx_r[:, :]
+        accy_r[:, :] = jnp.zeros((th, tw), jnp.float32)
+        for oyi in range(-margin, margin + 1):
+            wgt = _hat(ry - oyi)                         # (th, tw)
+            sl = av[margin + oyi:margin + oyi + th, :]
+            accy_r[:, :] = accy_r[:, :] + wgt * sl
+        o_ref[0, :, :] = accy_r[:, :]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb * c, ty, tx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, th, tw), lambda p, i, j: (p, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * c, hp, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bh_a, bw_a), jnp.float32),
+                        pltpu.VMEM((bh_a, bw_a - 128), jnp.float32),
+                        pltpu.VMEM((th, tw), jnp.float32),
+                        pltpu.VMEM((th, tw), jnp.float32),
+                        pltpu.VMEM((bh_a, tw), jnp.float32),
+                        pltpu.VMEM((th, tw), jnp.float32),
+                        pltpu.SemaphoreType.DMA((3,))],
+    )(*_fence(big, fx, fy, off))
+    out = _fence(out)[:, :h, :w]
+    return jnp.moveaxis(out.reshape(nb, c, h, w), 1, 3)
+
+
+@functools.lru_cache(maxsize=None)
+def _warp_tiled_vmappable(c: int, tile: tuple[int, int], margin: int,
+                          max_off: int):
+    """custom_vmap wrapper: extra vmap dims (the two flow directions of
+    a batched pair solve, further batched-panorama dims) fold into the
+    kernel's leading grid dimension."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(img, flow):
+        return _warp_tiled_impl(img, flow, tile, margin, max_off)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, img, flow):
+        ii = img.shape[1:] if in_batched[0] else img.shape    # (B, H, W, C)
+        fi = flow.shape[1:] if in_batched[1] else flow.shape
+
+        def fold(a, b, inner):
+            if not b:
+                a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+            return a.reshape((-1,) + inner[-3:])
+
+        out = f(fold(img, in_batched[0], ii), fold(flow, in_batched[1], fi))
+        return out.reshape((axis_size,) + ii), True
+
+    return f
+
+
+def warp_tiled_pallas(img: jax.Array, flow: jax.Array,
+                      tile: tuple[int, int] = (64, 256), margin: int = 8,
+                      max_off: int = 96) -> jax.Array:
+    """W(x) = img(x + flow(x)), bilinear, clamp-to-edge -- the Pallas
+    twin of ops/relax_fast.warp_by_flow_tiled (same per-tile
+    integer-offset + separable-hat-residual math, with the kernel grid
+    as the tile decomposition).  ``img`` is (H, W, C) or (B, H, W, C)
+    float32, ``flow`` (…, H, W, 2).  Extra jax.vmap dims fold into the
+    leading grid dim."""
+    squeeze = img.ndim == 3
+    if squeeze:
+        img, flow = img[None], flow[None]
+    out = _warp_tiled_vmappable(int(img.shape[-1]), tuple(tile),
+                                int(margin), int(max_off))(img, flow)
+    return out[0] if squeeze else out

@@ -167,10 +167,17 @@ def warp_by_flow_shift(img: jax.Array, flow: jax.Array, margin: int = 8,
 def warp_by_flow_auto(img: jax.Array, flow: jax.Array,
                       params: FlowParams) -> jax.Array:
     """Per-level warp dispatch: global-shift hat warp at small levels
-    (fixed-overhead bound), per-tile block warp at large ones."""
+    (fixed-overhead bound), per-tile block warp at large ones (the
+    Pallas dynamic-offset-DMA kernel on TPU, the XLA block gather
+    otherwise)."""
     h, w = img.shape[:2]
     if h * w <= params.shift_warp_max_pixels:
         return warp_by_flow_shift(img, flow)
+    if params.use_pallas and params.warp_pallas:
+        from panorama_opticalflow_tpu.ops.pallas import kernels
+
+        if kernels.on_tpu():
+            return kernels.warp_tiled_pallas(img, flow)
     return warp_by_flow_tiled(img, flow)
 
 

@@ -87,20 +87,22 @@ class TileConfig:
       FlowParams schedule (2 + 7 + 1*(3+2) + 7 = 21 hard radius) with
       27 rows of |flow_y| sampling margin.
     use_pallas_in_shardmap: let the sharded solvers call the Pallas
-      kernels.  Default OFF on this toolchain: the full tiled solver
-      with Mosaic custom-calls inside shard_map miscompiles on the axon
-      v5e backend -- 100% NaN flow at e.g. a 586x512 extended level with
-      real pyramid data, while (a) the identical level computes clean
-      OUTSIDE shard_map on the same data, (b) the kernels alone inside
-      shard_map are bit-exact on random data, and (c) the jnp path
-      inside shard_map is clean (r3 probes, probe_nan*_r3.log).  The
-      jnp hat path measures within noise of the kernels at sharded
-      per-device level sizes, so correctness costs ~nothing here.
+      kernels.  Round 3 found a toolchain miscompile here (100% NaN
+      flow from Mosaic custom-calls inside large shard_map programs on
+      the axon v5e backend, probe_nan*_r3.log); round 4's
+      optimization_barrier fence on every kernel's operands/results
+      (ops/pallas/kernels._fence) makes the full sharded solver clean
+      at the shapes that NaN'd (tools/probe_nan_r4.py, both r3 repro
+      configs), so the kernels are back ON by default -- they are ~2x
+      the jnp hat path at >= 9 MP per-device flow levels.  A runtime
+      non-finite-flow canary still guards the sharded stitch: on a bad
+      count it logs and falls back to the jnp path for the process
+      (tiled_stitch_pair).
     """
 
     min_tiled_rows: int = 48
     level_halo: int = 48
-    use_pallas_in_shardmap: bool = False
+    use_pallas_in_shardmap: bool = True
 
     @classmethod
     def for_params(cls, params: FlowParams, **kw) -> "TileConfig":

@@ -160,6 +160,13 @@ class FlowParams:
     # see edge-replicated borders at the canvas edge instead of
     # cv2-style reflect-101 (a <=7 px border band, SSIM-gated).
     fuse_level_blurs: bool = True
+    # Use the Pallas warp kernel (ops/pallas/kernels.warp_tiled_pallas)
+    # for the per-phase gradient recentring at levels above
+    # shift_warp_max_pixels: per-tile dynamic-offset DMA + in-VMEM
+    # residual hat passes replace the XLA block-gather warp's vmapped
+    # dynamic_slice and layout shuffle (~15 ms -> ~2 ms per level-pair
+    # at the 36 MP headline's finest level).  Gated by use_pallas.
+    warp_pallas: bool = True
 
     @property
     def search_distance(self) -> int:

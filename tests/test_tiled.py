@@ -234,5 +234,6 @@ def test_tiled_stitch_jit_program_is_cached():
     np.asarray(tiled.tiled_stitch_pair(il, ir, cfg, mesh, AXIS, tc))
     info = tiled._tiled_stitch_jit.cache_info()
     assert info.misses == 1 and info.hits >= 1, info
-    fn = tiled._tiled_stitch_jit(mesh, AXIS, N, h, cfg, tc, None, False)
+    fn = tiled._tiled_stitch_jit(mesh, AXIS, N, h, cfg, tc, None, False,
+                                 tc.use_pallas_in_shardmap)
     assert fn._cache_size() == 1, fn._cache_size()

@@ -63,6 +63,12 @@ def level_components(h, w, params, iters=6):
         params.relax_phases * t
 
     if kernels.on_tpu():
+        t = device_time(lambda g, f: jax.vmap(
+            lambda a, b: kernels.warp_tiled_pallas(a, b))(g, f),
+            i1g, flow, iters=iters)
+        out["warp_pallas(x%d, r4)" % params.relax_phases] = \
+            params.relax_phases * t
+
         def relax(f, g, m, bf):
             return kernels.relax_phase_pallas(
                 f[..., 0], f[..., 1], f[..., 0], f[..., 1],

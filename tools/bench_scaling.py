@@ -49,10 +49,11 @@ def main():
     il, ir = pipeline.compose_four(jnp.stack([jnp.asarray(p)
                                               for p in photos]))
     il, ir = np.asarray(il), np.asarray(ir)
-    cfg = StitchConfig()
-    tc = tiled.TileConfig()
-
     import os
+
+    cfg = StitchConfig(flow_alg=os.environ.get("PANOSTITCH_BENCH_ALG",
+                                               "pixflow_low"))
+    tc = tiled.TileConfig.for_params(cfg.flow_params)
 
     devlist = os.environ.get("PANOSTITCH_SCALE_DEVICES")
     if devlist:

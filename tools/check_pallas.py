@@ -125,12 +125,53 @@ def check_fused():
     print(f"median5_diffuse 10MP: {t*1e3:7.2f} ms (vs median+XLA blur+lerp)")
 
 
+def check_warp():
+    """Hardware parity + timing of the dynamic-offset-DMA warp kernel
+    (round 4) vs the XLA block-gather warp at the headline's finest
+    windowed level shape."""
+    rng = np.random.default_rng(2)
+    H, W = 2000, 1800        # ~ finest windowed flow level at 36 MP
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    fx = 20 * np.sin(yy / 37.0) + 5 * np.cos(xx / 53.0)
+    fy = 8 * np.cos(yy / 29.0) - 3 * np.sin(xx / 41.0)
+    flow = jnp.asarray(np.stack([fx, fy], -1))
+    img = jnp.asarray(rng.standard_normal((H, W, 2)).astype(np.float32))
+
+    ref = np.asarray(jax.jit(lambda a, f: rf.warp_by_flow_tiled(
+        a, f, tile_h=64, tile_w=256))(img, flow))
+    got = np.asarray(jax.jit(kernels.warp_tiled_pallas)(img, flow))
+    err = np.abs(ref - got).max()
+    print(f"warp_tiled_pallas vs XLA(64,256): max err {err:.2e} "
+          f"{'OK' if err < 1e-4 else 'FAIL'}")
+
+    # direction-batched (the production call shape: vmap over 2 dirs)
+    imgs = jnp.stack([img, img[::-1]])
+    flows = jnp.stack([flow, -flow])
+    vk = jax.jit(jax.vmap(lambda a, f: kernels.warp_tiled_pallas(a, f)))
+    gotb = np.asarray(vk(imgs, flows))
+    refb1 = np.asarray(jax.jit(lambda a, f: rf.warp_by_flow_tiled(
+        a, f, tile_h=64, tile_w=256))(imgs[1], flows[1]))
+    err = max(np.abs(gotb[0] - ref).max(), np.abs(gotb[1] - refb1).max())
+    print(f"warp_tiled_pallas vmapped: max err {err:.2e} "
+          f"{'OK' if err < 1e-4 else 'FAIL'}")
+
+    t_x = device_time(
+        jax.vmap(lambda a, f: rf.warp_by_flow_tiled(a, f)), imgs, flows,
+        iters=10)
+    t_k = device_time(vk, imgs, flows, iters=10)
+    print(f"warp 2x{H}x{W}x2: XLA block-gather {t_x*1e3:7.2f} ms   "
+          f"pallas {t_k*1e3:7.2f} ms   speedup {t_x/t_k:.2f}x")
+
+
 def main():
     if "--shardmap" in sys.argv:
         check_shardmap()
         return
     if "--fused" in sys.argv:
         check_fused()
+        return
+    if "--warp" in sys.argv:
+        check_warp()
         return
 
     rng = np.random.default_rng(0)

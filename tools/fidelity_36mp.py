@@ -54,6 +54,17 @@ def run_knob(knob: str, w: int, h: int) -> None:
         flow_alg = "pixflow_low_fast"
     elif knob == "nowindow":
         use_crop = False
+    elif knob == "search20":
+        # per-preset self-consistency rows (VERDICT r3 item 6): each
+        # bench-reported preset gets its own production-vs-conservative
+        # pair at full scale
+        flow_alg = "pixflow_search_20"
+    elif knob == "search20_nowindow":
+        flow_alg = "pixflow_search_20"
+        use_crop = False
+    elif knob == "fast_nowindow":
+        flow_alg = "pixflow_low_fast"
+        use_crop = False
     elif knob == "exact_combine":
         novel_view.TILED_SAMPLER_MIN_H = 10 ** 9
         novel_view.TILED_SAMPLER_MIN_W = 10 ** 9
