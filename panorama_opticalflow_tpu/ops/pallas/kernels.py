@@ -849,8 +849,12 @@ def _warp_tiled_impl(img: jax.Array, flow: jax.Array, tile: tuple[int, int],
         i = pl.program_id(1)
         j = pl.program_id(2)
         b = p // c
-        oy = off_s[b, i, j, 1]
-        ox = off_s[b, i, j, 0]
+        # offsets are passed FLAT: multi-dim SMEM windows are padded per
+        # dim by Mosaic (a (32,8,9,2) i32 window allocated 2 MB and blew
+        # the 1 MB SMEM limit at batch 16 -- bench_r4_batched16.log)
+        base = ((b * ty + i) * tx + j) * 2
+        oy = off_s[base + 1]
+        ox = off_s[base]
         ys = i * th + oy + pad - margin
         xs = j * tw + ox + pad - margin
         ys_al = pl.multiple_of(ys - jax.lax.rem(ys, 8), 8)
@@ -932,7 +936,7 @@ def _warp_tiled_impl(img: jax.Array, flow: jax.Array, tile: tuple[int, int],
                         pltpu.VMEM((bh_a, tw), jnp.float32),
                         pltpu.VMEM((th, tw), jnp.float32),
                         pltpu.SemaphoreType.DMA((3,))],
-    )(*_fence(big, fx, fy, off))
+    )(*_fence(big, fx, fy, off.reshape(-1)))
     out = _fence(out)[:, :h, :w]
     return jnp.moveaxis(out.reshape(nb, c, h, w), 1, 3)
 
@@ -966,14 +970,24 @@ def _warp_tiled_vmappable(c: int, tile: tuple[int, int], margin: int,
 
 
 def warp_tiled_pallas(img: jax.Array, flow: jax.Array,
-                      tile: tuple[int, int] = (64, 256), margin: int = 8,
+                      tile: tuple[int, int] = (64, 128), margin: int = 8,
                       max_off: int = 96) -> jax.Array:
     """W(x) = img(x + flow(x)), bilinear, clamp-to-edge -- the Pallas
     twin of ops/relax_fast.warp_by_flow_tiled (same per-tile
     integer-offset + separable-hat-residual math, with the kernel grid
     as the tile decomposition).  ``img`` is (H, W, C) or (B, H, W, C)
     float32, ``flow`` (…, H, W, 2).  Extra jax.vmap dims fold into the
-    leading grid dim."""
+    leading grid dim.
+
+    The default tile MATCHES warp_by_flow_tiled's (64, 128), making the
+    kernel bit-compatible with the jnp production path (hardware-checked
+    in tools/check_pallas.py --warp), so every fidelity gate of the XLA
+    warp transfers.  A first cut used (64, 256) -- 2.06x the XLA warp vs
+    ~1.7x here -- but the coarser per-tile integer offsets clamp larger
+    residuals and measurably diverge at large-flow canvases
+    (tiled_overhead 4500x2000 SSIM 0.927 vs the jnp path, r4 probes);
+    the finer grid buys that accuracy back for ~1 ms at the headline's
+    finest level."""
     squeeze = img.ndim == 3
     if squeeze:
         img, flow = img[None], flow[None]

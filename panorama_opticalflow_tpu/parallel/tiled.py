@@ -103,6 +103,15 @@ class TileConfig:
     min_tiled_rows: int = 48
     level_halo: int = 48
     use_pallas_in_shardmap: bool = True
+    # Fine-grained shard_map kernel gates (bisection knobs for the
+    # residual miscompile class -- the full windowed stitch still NaNs
+    # with all kernels on at some canvases while the standalone sharded
+    # solver is clean): independently disable the relax/median kernels
+    # (via pallas_min_pixels), the fused-blur kernels, or the warp
+    # kernel inside the sharded solvers.
+    shardmap_relax_kernels: bool = True
+    shardmap_fused_blurs: bool = True
+    shardmap_warp_kernel: bool = True
 
     @classmethod
     def for_params(cls, params: FlowParams, **kw) -> "TileConfig":
@@ -469,6 +478,22 @@ def _upsample_replicated(flow, level, *, sizes, tiled_level, n, axis,
     return up
 
 
+def _shardmap_params(params: FlowParams, tc: "TileConfig") -> FlowParams:
+    """Apply the TileConfig shard_map kernel gates to the solver params
+    (see TileConfig: use_pallas_in_shardmap plus the per-kernel-class
+    bisection knobs)."""
+    if not tc.use_pallas_in_shardmap:
+        return dataclasses.replace(params, use_pallas=False)
+    kw = {}
+    if not tc.shardmap_relax_kernels:
+        kw["pallas_min_pixels"] = 10 ** 12
+    if not tc.shardmap_fused_blurs:
+        kw["fuse_level_blurs"] = False
+    if not tc.shardmap_warp_kernel:
+        kw["warp_pallas"] = False
+    return dataclasses.replace(params, **kw) if kw else params
+
+
 def tiled_compute_optical_flow(
     rgba0: jax.Array, rgba1: jax.Array, params: FlowParams, hint: str,
     axis: str, n: int, h_global: int, tc: TileConfig = TileConfig(),
@@ -483,8 +508,7 @@ def tiled_compute_optical_flow(
     assert h_loc * n >= h_global
     assert tc.level_halo >= derive_level_halo(params, flow_sample_margin=0), \
         (tc.level_halo, derive_level_halo(params, flow_sample_margin=0))
-    if not tc.use_pallas_in_shardmap:
-        params = dataclasses.replace(params, use_pallas=False)
+    params = _shardmap_params(params, tc)
     dh = int(h_global * params.downscale_factor)
     dw = int(w * params.downscale_factor)
 
@@ -604,8 +628,7 @@ def tiled_compute_optical_flow_pair(
     assert h_loc * n >= h_global
     assert tc.level_halo >= derive_level_halo(params, flow_sample_margin=0), \
         (tc.level_halo, derive_level_halo(params, flow_sample_margin=0))
-    if not tc.use_pallas_in_shardmap:
-        params = dataclasses.replace(params, use_pallas=False)
+    params = _shardmap_params(params, tc)
     dh = int(h_global * params.downscale_factor)
     dw = int(w * params.downscale_factor)
 

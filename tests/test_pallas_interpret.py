@@ -238,9 +238,10 @@ def test_fused_level_matches_jnp_level_interpret(rng, interp, monkeypatch):
 
 
 def test_warp_tiled_kernel_interpret(rng, interp):
-    """Dynamic-offset-DMA warp kernel vs the XLA block-gather warp with
-    the same (64, 256) tile decomposition: same per-tile integer offsets
-    and residual hat passes, so outputs agree to summation order."""
+    """Dynamic-offset-DMA warp kernel vs the XLA block-gather warp at
+    the SAME default (64, 128) tile decomposition: same per-tile integer
+    offsets and residual hat passes, so outputs agree to summation
+    order (bit-exact on hardware, check_pallas --warp)."""
     h, w, c = 200, 520, 2
     img = rng.standard_normal((h, w, c)).astype(np.float32)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
@@ -248,8 +249,8 @@ def test_warp_tiled_kernel_interpret(rng, interp):
     fy = 8 * np.cos(yy / 29.0) - 3 * np.sin(xx / 41.0)
     flow = np.stack([fx, fy], -1).astype(np.float32)
 
-    ref = np.asarray(rf.warp_by_flow_tiled(
-        jnp.asarray(img), jnp.asarray(flow), tile_h=64, tile_w=256))
+    ref = np.asarray(rf.warp_by_flow_tiled(jnp.asarray(img),
+                                           jnp.asarray(flow)))
     got = np.asarray(kernels.warp_tiled_pallas(jnp.asarray(img),
                                                jnp.asarray(flow)))
     np.testing.assert_allclose(got, ref, atol=2e-6)
@@ -259,7 +260,7 @@ def test_warp_tiled_kernel_interpret(rng, interp):
     flows = np.stack([flow, -flow])
     gotb = np.asarray(jax.vmap(lambda a, f: kernels.warp_tiled_pallas(a, f))(
         jnp.asarray(imgs), jnp.asarray(flows)))
-    refb1 = np.asarray(rf.warp_by_flow_tiled(
-        jnp.asarray(imgs[1]), jnp.asarray(flows[1]), tile_h=64, tile_w=256))
+    refb1 = np.asarray(rf.warp_by_flow_tiled(jnp.asarray(imgs[1]),
+                                             jnp.asarray(flows[1])))
     np.testing.assert_allclose(gotb[0], ref, atol=2e-6)
     np.testing.assert_allclose(gotb[1], refb1, atol=2e-6)

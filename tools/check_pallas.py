@@ -56,9 +56,11 @@ def check_shardmap():
     print(f"tiled_stitch_pair (1-dev mesh, production jnp-in-shard_map) vs "
           f"untiled: SSIM {s:.4f} {'OK' if s >= 0.995 else 'FAIL'}")
     # canary for the axon Mosaic-in-shard_map miscompile (NaN flows at
-    # some shapes/data -- see TileConfig.use_pallas_in_shardmap): when
-    # this starts passing at full-canvas real-data configs, the default
-    # can be flipped back on
+    # some shapes/data -- see TileConfig.use_pallas_in_shardmap).  r4:
+    # kernels default ON with a runtime non-finite-flow canary; at THIS
+    # small-tile config the canary is expected to trip and auto-fall
+    # back (the first call below logs the detection), which is the
+    # behavior under test -- both SSIMs must still come back ~1.0.
     tck = dataclasses.replace(tc, use_pallas_in_shardmap=True)
     outk = np.asarray(tiled.tiled_stitch_pair(l, r, cfg, mesh, "y", tck))
     sk = ssim(outk[..., :3].astype(np.float32),
@@ -137,11 +139,10 @@ def check_warp():
     flow = jnp.asarray(np.stack([fx, fy], -1))
     img = jnp.asarray(rng.standard_normal((H, W, 2)).astype(np.float32))
 
-    ref = np.asarray(jax.jit(lambda a, f: rf.warp_by_flow_tiled(
-        a, f, tile_h=64, tile_w=256))(img, flow))
+    ref = np.asarray(jax.jit(rf.warp_by_flow_tiled)(img, flow))
     got = np.asarray(jax.jit(kernels.warp_tiled_pallas)(img, flow))
     err = np.abs(ref - got).max()
-    print(f"warp_tiled_pallas vs XLA(64,256): max err {err:.2e} "
+    print(f"warp_tiled_pallas vs XLA(default tile): max err {err:.2e} "
           f"{'OK' if err < 1e-4 else 'FAIL'}")
 
     # direction-batched (the production call shape: vmap over 2 dirs)
@@ -149,8 +150,7 @@ def check_warp():
     flows = jnp.stack([flow, -flow])
     vk = jax.jit(jax.vmap(lambda a, f: kernels.warp_tiled_pallas(a, f)))
     gotb = np.asarray(vk(imgs, flows))
-    refb1 = np.asarray(jax.jit(lambda a, f: rf.warp_by_flow_tiled(
-        a, f, tile_h=64, tile_w=256))(imgs[1], flows[1]))
+    refb1 = np.asarray(jax.jit(rf.warp_by_flow_tiled)(imgs[1], flows[1]))
     err = max(np.abs(gotb[0] - ref).max(), np.abs(gotb[1] - refb1).max())
     print(f"warp_tiled_pallas vmapped: max err {err:.2e} "
           f"{'OK' if err < 1e-4 else 'FAIL'}")
@@ -161,6 +161,23 @@ def check_warp():
     t_k = device_time(vk, imgs, flows, iters=10)
     print(f"warp 2x{H}x{W}x2: XLA block-gather {t_x*1e3:7.2f} ms   "
           f"pallas {t_k*1e3:7.2f} ms   speedup {t_x/t_k:.2f}x")
+
+    # full-canvas (nowindow) finest-level shape class at the 36 MP
+    # headline (4500x2000 solver res) with headline-scale flows -- the
+    # r4 fidelity ladder caught the first-cut kernel corrupting output
+    # at exactly this class while passing at 2000x1800
+    H2, W2 = 2000, 4480
+    yy, xx = np.mgrid[0:H2, 0:W2].astype(np.float32)
+    fx2 = 60 * np.sin(yy / 97.0) + 25 * np.cos(xx / 211.0)
+    fy2 = 30 * np.cos(yy / 83.0) - 12 * np.sin(xx / 157.0)
+    flow2 = jnp.asarray(np.stack([fx2, fy2], -1))
+    img2 = jnp.asarray(rng.standard_normal((H2, W2, 2)).astype(np.float32))
+    ref2 = np.asarray(jax.jit(rf.warp_by_flow_tiled)(img2, flow2))
+    got2 = np.asarray(jax.jit(kernels.warp_tiled_pallas)(img2, flow2))
+    err2 = np.abs(ref2 - got2).max()
+    nan2 = int(np.isnan(got2).sum())
+    print(f"warp_tiled_pallas {H2}x{W2} big-flow: max err {err2:.2e} "
+          f"nan {nan2} {'OK' if err2 < 1e-4 and nan2 == 0 else 'FAIL'}")
 
 
 def main():

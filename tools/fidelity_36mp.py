@@ -68,7 +68,7 @@ def run_knob(knob: str, w: int, h: int) -> None:
     elif knob == "exact_combine":
         novel_view.TILED_SAMPLER_MIN_H = 10 ** 9
         novel_view.TILED_SAMPLER_MIN_W = 10 ** 9
-    elif knob in ("sched22", "unfused"):
+    elif knob in ("sched22", "unfused", "nowarpk", "fast_nowarpk"):
         orig = cfgmod.flow_params_by_name
 
         def patched(name):
@@ -76,9 +76,15 @@ def run_knob(knob: str, w: int, h: int) -> None:
             if knob == "sched22":
                 return dataclasses.replace(p, relax_phases=2,
                                            relax_iters_per_phase=2)
+            if knob in ("nowarpk", "fast_nowarpk"):
+                # isolate the r4 Pallas warp kernel: XLA block-gather
+                # warp instead (the r3 production path)
+                return dataclasses.replace(p, warp_pallas=False)
             return dataclasses.replace(p, fuse_level_blurs=False)
 
         cfgmod.flow_params_by_name = patched
+        if knob == "fast_nowarpk":
+            flow_alg = "pixflow_low_fast"
     else:
         raise SystemExit(f"unknown knob {knob}")
 
