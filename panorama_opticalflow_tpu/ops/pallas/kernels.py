@@ -798,11 +798,15 @@ def relax_phase_pallas(
 # 0/1 selection matmul on the MXU (exact, ~40 MFLOP/tile ~= 1 us).
 
 
-# Column-remainder peel strategy: "roll" uses the Mosaic dynamic lane
-# rotate (pltpu.roll, a VPU permute); "matmul" uses an exact 0/1
-# selection matmul on the MXU.  Both are exact integer shifts; the
-# hardware probe (tools/check_pallas.py --warp) validates the default.
-_WARP_XSHIFT = os.environ.get("PANOSTITCH_WARP_XSHIFT", "roll")
+# Remainder peel strategy: "matmul" (default) uses exact 0/1 selection
+# matmuls on the MXU; "roll" uses the Mosaic dynamic rotate
+# (pltpu.roll).  Both are exact integer shifts in interpret mode, but
+# the hardware dynamic rotate is only correct at power-of-two window
+# widths on this toolchain (bit-exact at the (64,256) tile's 512-wide
+# window, err ~7 at the (64,128) tile's 384-wide window,
+# check_warp_128.log) -- the matmul peel has no such constraint and is
+# hardware-validated bit-exact (tools/check_pallas.py --warp).
+_WARP_XSHIFT = os.environ.get("PANOSTITCH_WARP_XSHIFT", "matmul")
 
 
 def _warp_tiled_impl(img: jax.Array, flow: jax.Array, tile: tuple[int, int],

@@ -133,14 +133,17 @@ class FlowParams:
     scan_fine_rung_levels: int = 1
     # Levels at or below this pixel count use the global-shift hat warp
     # (ops/relax_fast.warp_by_flow_shift) instead of the per-tile block
-    # warp for the per-phase gradient recentring: at small levels the
-    # block warp's vmapped dynamic-slice gather is ~4-6 ms of pure
-    # per-level fixed overhead (tools/bench_flow_level.py), while flows
-    # there are level-scaled small enough for a single global integer
-    # offset + hat-pass residual.  Matches scan_max_pixels by default
-    # (the scanned coarse tail is exactly the fixed-overhead-bound
-    # regime).  0 disables.
-    shift_warp_max_pixels: int = 448 * 1024
+    # warp for the per-phase gradient recentring.  DEFAULT OFF (r4): on
+    # the TPU backend this path CORRUPTS output at some preset/canvas
+    # shape classes (black top band, head-to-head vs the reference
+    # binary 0.416 at 2250x1000 pixflow_low; bisect matrix
+    # artifacts/h2h_*.log -- disabling ONLY this knob restores 0.9990)
+    # while the CPU backend is clean everywhere, so the CPU test suite
+    # cannot gate it.  The per-level fixed overhead it saved (~4-6 ms
+    # of vmapped dynamic-slice block gather at coarse levels) is now
+    # mostly recouped by the r4 Pallas warp kernel, which engages at
+    # ALL levels on TPU and is hardware-validated bit-exact.  0 = off.
+    shift_warp_max_pixels: int = 0
     # Relax kernel tile (rows, cols).  Bigger tiles amortise the halo
     # overlap (the (64, 256) tile recomputes ~2x; (64, 512) ~1.7x) at
     # the cost of VMEM scratch; bounded by the 16 MB scoped-vmem limit.

@@ -65,6 +65,21 @@ def run_knob(knob: str, w: int, h: int) -> None:
     elif knob == "fast_nowindow":
         flow_alg = "pixflow_low_fast"
         use_crop = False
+    elif knob in ("fast_nowindow_nok", "fast_nowindow_nowarpk"):
+        # bisect the r4 nowindow-at-36MP blackout (black top band =
+        # NaN->uint8-zero signature) by kernel class: all Pallas
+        # kernels off, or just the warp kernel off
+        flow_alg = "pixflow_low_fast"
+        use_crop = False
+        orig2 = cfgmod.flow_params_by_name
+
+        def patched2(name, _k=knob):
+            p = orig2(name)
+            if _k == "fast_nowindow_nok":
+                return dataclasses.replace(p, use_pallas=False)
+            return dataclasses.replace(p, warp_pallas=False)
+
+        cfgmod.flow_params_by_name = patched2
     elif knob == "exact_combine":
         novel_view.TILED_SAMPLER_MIN_H = 10 ** 9
         novel_view.TILED_SAMPLER_MIN_W = 10 ** 9
