@@ -103,14 +103,17 @@ class TileConfig:
     min_tiled_rows: int = 48
     level_halo: int = 48
     use_pallas_in_shardmap: bool = True
-    # Fine-grained shard_map kernel gates (bisection knobs for the
-    # residual miscompile class -- the full windowed stitch still NaNs
-    # with all kernels on at some canvases while the standalone sharded
-    # solver is clean): independently disable the relax/median kernels
-    # (via pallas_min_pixels), the fused-blur kernels, or the warp
-    # kernel inside the sharded solvers.
-    shardmap_relax_kernels: bool = True
-    shardmap_fused_blurs: bool = True
+    # Fine-grained shard_map kernel gates.  The r4 bisect
+    # (artifacts/bisect_shardmap_2250*.log) pinned the residual
+    # large-program miscompile to the relax/median AND fused-blur
+    # kernel classes (each trips the non-finite canary even alone),
+    # while the warp kernel ALONE in the full windowed sharded stitch
+    # is clean -- so the defaults ship warp-only: jnp relax + XLA
+    # blurs + Pallas warp in shard_map, still guarded by the runtime
+    # canary.  Flip the other two back on after the round-5
+    # kernels-outside-shard_map restructure.
+    shardmap_relax_kernels: bool = False
+    shardmap_fused_blurs: bool = False
     shardmap_warp_kernel: bool = True
 
     @classmethod
