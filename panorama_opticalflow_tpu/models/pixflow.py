@@ -374,6 +374,139 @@ def adjust_initial_flow(
     return jnp.where(update[..., None], flow, 0.0)
 
 
+def _level_core(
+    i0x: jax.Array,
+    i0y: jax.Array,
+    i1g: jax.Array,
+    a0: jax.Array,
+    a1: jax.Array,
+    flow: jax.Array,
+    params: FlowParams,
+    coarsest: bool,
+    knd=None,
+) -> jax.Array:
+    """Shared per-level relaxation core on (B, H, W[, C]) batched planes
+    (CPU/PixFlow.hpp:306-339 after gradients/init): ``phases`` rounds of
+    relaxation + median, then the low-alpha diffusion (C8b).
+
+    ``knd`` is an optional kernel namespace with the
+    ``ops.pallas.kernels`` entry signatures; the hybrid sharded solver
+    passes ``ops.pallas.partition.CPKernels`` so each kernel call
+    partitions over the leading (tile) batch dim under GSPMD instead of
+    running inside a shard_map body (see parallel/hybrid.py).  ``None``
+    uses the plain kernels.
+    """
+    from panorama_opticalflow_tpu.ops.pallas import kernels
+    from panorama_opticalflow_tpu.ops.relax_fast import (
+        relax_phase_fast, warp_by_flow_tiled)
+
+    k = knd if knd is not None else kernels
+    nb, h, w = i0x.shape
+
+    update_mask = ((a0 > params.update_alpha_threshold)
+                   & (a1 > params.update_alpha_threshold))
+    phases = params.coarsest_relax_phases if coarsest else params.relax_phases
+    iters = (params.coarsest_relax_iters_per_phase if coarsest
+             else params.relax_iters_per_phase)
+
+    use_fast = params.relax_impl == "fast" and not coarsest
+    if use_fast:
+        pallas_ok = (kernels.on_tpu() and params.use_pallas
+                     and h * w >= params.pallas_min_pixels)
+        warp_pallas = (kernels.on_tpu() and params.use_pallas
+                       and params.warp_pallas)
+
+        def warp_b(img_b, f_b):
+            # per-phase gradient recentring (batched over B)
+            if warp_pallas:
+                return k.warp_tiled_pallas(img_b, f_b)
+            return jax.vmap(warp_by_flow_tiled)(img_b, f_b)
+
+        if pallas_ok and phases == 1 and params.fuse_level_blurs:
+            # fused single-phase level: the relax kernel computes the
+            # blurred-flow target in VMEM (f_base == the flow it blurs
+            # when there is exactly one phase) and a fused kernel does
+            # median + diffusion in one HBM round trip
+            f_base = flow
+            w1g_warp = warp_b(i1g, f_base)
+            fx, fy = k.relax_phase_pallas(
+                flow[..., 0], flow[..., 1],
+                f_base[..., 0], f_base[..., 1],
+                w1g_warp[..., 0], w1g_warp[..., 1],
+                i0x, i0y, None, None,
+                update_mask.astype(jnp.float32),
+                params, iters, params.fast_window,
+                tile=params.pallas_tile, fuse_bf=True)
+            f = jnp.stack([fx, fy], axis=-1)
+            c = 1.0 - a0 * a1                    # (B, H, W) per direction
+            out = k.median5_diffuse_pallas(
+                _as_planes(f), c,
+                params.blurred_flow_kernel_width,
+                params.blurred_flow_sigma)
+            return _from_planes(out, nb)
+
+        blurred_flow = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
+            f, params.blurred_flow_kernel_width,
+            params.blurred_flow_sigma))(_as_planes(flow)), nb)
+
+        def median_flow(f):
+            if pallas_ok:
+                med = k.median5_pallas(_as_planes(f))
+            else:
+                med = jax.vmap(im.median5)(_as_planes(f))
+            return _from_planes(med, nb)
+
+        def phase_body(f, _):
+            # re-centre per phase: warp the gradient pair by the current
+            # flow once, then relax bounded residuals against it
+            f_base = f
+            w1g_warp = warp_b(i1g, f_base)
+            if pallas_ok:
+                fx, fy = k.relax_phase_pallas(
+                    f[..., 0], f[..., 1],
+                    f_base[..., 0], f_base[..., 1],
+                    w1g_warp[..., 0], w1g_warp[..., 1],
+                    i0x, i0y,
+                    blurred_flow[..., 0], blurred_flow[..., 1],
+                    update_mask.astype(jnp.float32),
+                    params, iters, params.fast_window,
+                    tile=params.pallas_tile)
+                f = jnp.stack([fx, fy], axis=-1)
+            else:
+                f = jax.vmap(
+                    lambda fc, fb, wg, gx_, gy_, bf, m: relax_phase_fast(
+                        fc, fb, wg, gx_, gy_, bf, m, params, iters,
+                        D=params.fast_window)
+                )(f, f_base, w1g_warp, i0x, i0y, blurred_flow, update_mask)
+            return median_flow(f), None
+
+        # phases as lax.scan: the phase body (the bulk of the level's
+        # graph) is traced/compiled once per level instead of per phase
+        flow, _ = jax.lax.scan(phase_body, flow, None, length=phases)
+    else:
+        blurred_flow = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
+            f, params.blurred_flow_kernel_width,
+            params.blurred_flow_sigma))(_as_planes(flow)), nb)
+
+        def run_phase(f, gx_, gy_, g1, bf, m):
+            def one_iter(fc, _):
+                return relax_iteration(fc, gx_, gy_, g1, bf, m, params), None
+            fc, _ = jax.lax.scan(one_iter, f, None, length=iters)
+            return im.median5(fc)
+
+        def phase_body(f, _):
+            return jax.vmap(run_phase)(f, i0x, i0y, i1g, blurred_flow,
+                                       update_mask), None
+
+        flow, _ = jax.lax.scan(phase_body, flow, None, length=phases)
+    # low-alpha diffusion (C8b), blur on channel-split planes
+    blurred = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
+        f, params.blurred_flow_kernel_width,
+        params.blurred_flow_sigma))(_as_planes(flow)), nb)
+    c = (1.0 - a0 * a1)[..., None]
+    return c * blurred + (1.0 - c) * flow
+
+
 def patch_match_level(
     i0: jax.Array,
     i1: jax.Array,
@@ -399,95 +532,9 @@ def patch_match_level(
         if params.max_percentage > 0 and hint != "unknown":
             flow = adjust_initial_flow(i0, i1, alpha0, alpha1, hint, params)
 
-    update_mask = ((alpha0 > params.update_alpha_threshold)
-                   & (alpha1 > params.update_alpha_threshold))
-
-    phases = params.coarsest_relax_phases if coarsest else params.relax_phases
-    iters = (params.coarsest_relax_iters_per_phase if coarsest
-             else params.relax_iters_per_phase)
-
-    use_fast = params.relax_impl == "fast" and not coarsest
-    if use_fast:
-        from panorama_opticalflow_tpu.ops.pallas import kernels
-        from panorama_opticalflow_tpu.ops.relax_fast import (
-            relax_phase_fast, warp_by_flow_auto)
-
-        pallas_ok = (kernels.on_tpu() and params.use_pallas
-                     and i0.shape[0] * i0.shape[1]
-                     >= params.pallas_min_pixels)
-
-        if pallas_ok and phases == 1 and params.fuse_level_blurs:
-            # fused single-phase level: the relax kernel computes the
-            # blurred-flow target in VMEM (f_base == the flow it blurs
-            # when there is exactly one phase) and a fused kernel does
-            # median + diffusion in one HBM round trip
-            f_base = flow
-            w1g_warp = warp_by_flow_auto(i1g, f_base, params)
-            fx, fy = kernels.relax_phase_pallas(
-                flow[..., 0], flow[..., 1],
-                f_base[..., 0], f_base[..., 1],
-                w1g_warp[..., 0], w1g_warp[..., 1],
-                i0x, i0y, None, None,
-                update_mask.astype(jnp.float32),
-                params, iters, params.fast_window,
-                tile=params.pallas_tile, fuse_bf=True)
-            c = 1.0 - alpha0 * alpha1
-            out = kernels.median5_diffuse_pallas(
-                jnp.stack([fx, fy]), c[None],
-                params.blurred_flow_kernel_width,
-                params.blurred_flow_sigma)
-            return jnp.stack([out[0], out[1]], axis=-1)
-
-        blurred_flow = im.gaussian_blur(flow,
-                                        params.blurred_flow_kernel_width,
-                                        params.blurred_flow_sigma)
-
-        def median_flow(f):
-            if pallas_ok:
-                return jnp.stack([kernels.median5_pallas(f[..., 0]),
-                                  kernels.median5_pallas(f[..., 1])], -1)
-            return im.median5(f)
-
-        def phase_body(f, _):
-            # re-centre per phase: warp the gradient pair by the current
-            # flow once, then relax bounded residuals against it
-            f_base = f
-            w1g_warp = warp_by_flow_auto(i1g, f_base, params)
-            if pallas_ok:
-                fx, fy = kernels.relax_phase_pallas(
-                    f[..., 0], f[..., 1],
-                    f_base[..., 0], f_base[..., 1],
-                    w1g_warp[..., 0], w1g_warp[..., 1],
-                    i0x, i0y,
-                    blurred_flow[..., 0], blurred_flow[..., 1],
-                    update_mask.astype(jnp.float32),
-                    params, iters, params.fast_window,
-                    tile=params.pallas_tile)
-                f = jnp.stack([fx, fy], axis=-1)
-            else:
-                f = relax_phase_fast(f, f_base, w1g_warp, i0x, i0y,
-                                     blurred_flow, update_mask, params,
-                                     iters, D=params.fast_window)
-            return median_flow(f), None
-
-        # phases as lax.scan: the phase body (the bulk of the level's
-        # graph) is traced/compiled once per level instead of per phase
-        flow, _ = jax.lax.scan(phase_body, flow, None, length=phases)
-    else:
-        blurred_flow = im.gaussian_blur(flow,
-                                        params.blurred_flow_kernel_width,
-                                        params.blurred_flow_sigma)
-
-        def one_iter(f, _):
-            return relax_iteration(f, i0x, i0y, i1g, blurred_flow,
-                                   update_mask, params), None
-
-        def phase_body(f, _):
-            f, _ = jax.lax.scan(one_iter, f, None, length=iters)
-            return im.median5(f), None
-
-        flow, _ = jax.lax.scan(phase_body, flow, None, length=phases)
-    return low_alpha_flow_diffusion(flow, alpha0, alpha1, params)
+    out = _level_core(i0x[None], i0y[None], i1g[None], alpha0[None],
+                      alpha1[None], flow[None], params, coarsest)
+    return out[0]
 
 
 def _preprocess(rgba: jax.Array, params: FlowParams,
@@ -580,13 +627,15 @@ def patch_match_level_batched(
     flow: jax.Array | None,
     hints: tuple[str, str],
     params: FlowParams,
+    knd=None,
 ) -> jax.Array:
     """Batched patch_match_level over the two directions of a pair.
 
     ``imgs``/``alphas`` are (2, H, W): index 0 is the pair's first image,
     index 1 the second.  Direction b solves flow from imgs[b] to
     imgs[1-b], so per-direction inputs are i0 = imgs, i1 = imgs[::-1].
-    ``flow`` is (2, H, W, 2) or None at the coarsest level.
+    ``flow`` is (2, H, W, 2) or None at the coarsest level.  ``knd``:
+    optional kernel namespace, see _level_core.
     """
     gk, gs = params.gradient_blur_kernel_width, params.gradient_blur_sigma
     # one gradient computation per unique image; each serves as i0 grads
@@ -609,106 +658,42 @@ def patch_match_level_batched(
             flows.append(f)
         flow = jnp.stack(flows)
 
-    nb = imgs.shape[0]
-    update_mask = ((a0 > params.update_alpha_threshold)
-                   & (a1 > params.update_alpha_threshold))
+    return _level_core(i0x, i0y, i1g, a0, a1, flow, params, coarsest, knd)
 
-    phases = params.coarsest_relax_phases if coarsest else params.relax_phases
-    iters = (params.coarsest_relax_iters_per_phase if coarsest
-             else params.relax_iters_per_phase)
 
-    use_fast = params.relax_impl == "fast" and not coarsest
-    if use_fast:
-        from panorama_opticalflow_tpu.ops.pallas import kernels
-        from panorama_opticalflow_tpu.ops.relax_fast import (
-            relax_phase_fast, warp_by_flow_auto)
+def patch_match_level_tiles(
+    imgs: jax.Array,
+    alphas: jax.Array,
+    flow: jax.Array,
+    params: FlowParams,
+    knd=None,
+) -> jax.Array:
+    """Per-tile independent twin of patch_match_level_batched for the
+    hybrid sharded solver (parallel/hybrid.py): ``imgs``/``alphas`` are
+    (T, 2, H, W) halo-extended row tiles, ``flow`` (T, 2, H, W, 2) --
+    never the coarsest level, so ``flow`` is required and no direction
+    hints are needed.  The two directions of a tile find their partner
+    by the within-tile swap (T stays aligned).  All per-level ops run
+    with a folded leading batch of 2T, which GSPMD partitions over the
+    row mesh (the batch IS the tile decomposition)."""
+    t = imgs.shape[0]
+    b = t * 2
 
-        nb, h, w = imgs.shape
-        pallas_ok = (kernels.on_tpu() and params.use_pallas
-                     and h * w >= params.pallas_min_pixels)
+    def fold(x):
+        return x.reshape((b,) + x.shape[2:])
 
-        if pallas_ok and phases == 1 and params.fuse_level_blurs:
-            # fused single-phase level (see patch_match_level): in-kernel
-            # blurred-flow target + fused median/diffusion round trip
-            f_base = flow
-            w1g_warp = jax.vmap(
-                lambda g, f: warp_by_flow_auto(g, f, params))(i1g, f_base)
-            fx, fy = kernels.relax_phase_pallas(
-                flow[..., 0], flow[..., 1],
-                f_base[..., 0], f_base[..., 1],
-                w1g_warp[..., 0], w1g_warp[..., 1],
-                i0x, i0y, None, None,
-                update_mask.astype(jnp.float32),
-                params, iters, params.fast_window,
-                tile=params.pallas_tile, fuse_bf=True)
-            f = jnp.stack([fx, fy], axis=-1)
-            c = 1.0 - a0 * a1                   # (2, H, W) per direction
-            out = kernels.median5_diffuse_pallas(
-                _as_planes(f), c,
-                params.blurred_flow_kernel_width,
-                params.blurred_flow_sigma)
-            return _from_planes(out, nb)
+    def swap(x):  # partner within each tile, preserved by the fold
+        return x.reshape((t, 2) + x.shape[1:])[:, ::-1].reshape(x.shape)
 
-        blurred_flow = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
-            f, params.blurred_flow_kernel_width,
-            params.blurred_flow_sigma))(_as_planes(flow)), nb)
-
-        def median_flow(f):
-            if pallas_ok:
-                med = kernels.median5_pallas(_as_planes(f))
-            else:
-                med = jax.vmap(im.median5)(_as_planes(f))
-            return _from_planes(med, nb)
-
-        vwarp = jax.vmap(lambda g, f: warp_by_flow_auto(g, f, params))
-
-        def phase_body(f, _):
-            f_base = f
-            w1g_warp = vwarp(i1g, f_base)
-            if pallas_ok:
-                fx, fy = kernels.relax_phase_pallas(
-                    f[..., 0], f[..., 1],
-                    f_base[..., 0], f_base[..., 1],
-                    w1g_warp[..., 0], w1g_warp[..., 1],
-                    i0x, i0y,
-                    blurred_flow[..., 0], blurred_flow[..., 1],
-                    update_mask.astype(jnp.float32),
-                    params, iters, params.fast_window,
-                    tile=params.pallas_tile)
-                f = jnp.stack([fx, fy], axis=-1)
-            else:
-                f = jax.vmap(
-                    lambda fc, fb, wg, gx_, gy_, bf, m: relax_phase_fast(
-                        fc, fb, wg, gx_, gy_, bf, m, params, iters,
-                        D=params.fast_window)
-                )(f, f_base, w1g_warp, i0x, i0y, blurred_flow, update_mask)
-            return median_flow(f), None
-
-        # phases as lax.scan: the phase body (the bulk of the level's
-        # graph) is traced/compiled once per level instead of per phase
-        flow, _ = jax.lax.scan(phase_body, flow, None, length=phases)
-    else:
-        blurred_flow = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
-            f, params.blurred_flow_kernel_width,
-            params.blurred_flow_sigma))(_as_planes(flow)), nb)
-
-        def run_phase(f, gx_, gy_, g1, bf, m):
-            def one_iter(fc, _):
-                return relax_iteration(fc, gx_, gy_, g1, bf, m, params), None
-            fc, _ = jax.lax.scan(one_iter, f, None, length=iters)
-            return im.median5(fc)
-
-        def phase_body(f, _):
-            return jax.vmap(run_phase)(f, i0x, i0y, i1g, blurred_flow,
-                                       update_mask), None
-
-        flow, _ = jax.lax.scan(phase_body, flow, None, length=phases)
-    # low-alpha diffusion (C8b), blur on channel-split planes
-    blurred = _from_planes(jax.vmap(lambda f: im.gaussian_blur(
-        f, params.blurred_flow_kernel_width, params.blurred_flow_sigma))(
-        _as_planes(flow)), imgs.shape[0])
-    c = (1.0 - a0 * a1)[..., None]
-    return c * blurred + (1.0 - c) * flow
+    gk, gs = params.gradient_blur_kernel_width, params.gradient_blur_sigma
+    imf = fold(imgs)
+    gx = jax.vmap(lambda g: im.gaussian_blur(im.sobel_x(g), gk, gs))(imf)
+    gy = jax.vmap(lambda g: im.gaussian_blur(im.sobel_y(g), gk, gs))(imf)
+    i1g = jnp.stack([swap(gx), swap(gy)], axis=-1)
+    a0 = fold(alphas)
+    a1 = swap(a0)
+    out = _level_core(gx, gy, i1g, a0, a1, fold(flow), params, False, knd)
+    return out.reshape((t, 2) + out.shape[1:])
 
 
 def compute_optical_flow_pair(

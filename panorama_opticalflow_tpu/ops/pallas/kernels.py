@@ -791,11 +791,12 @@ def relax_phase_pallas(
 # Toolchain constraint (probe_nan_r4_top.log): Mosaic requires dynamic
 # DMA starts to be PROVABLY divisible by the (8, 128) tiling -- an
 # arbitrary per-tile offset DMA fails to lower.  So the window is
-# fetched at the floored-aligned start and the remainders are resolved
-# in VMEM: the row remainder (0..7) folds into the y hat pass (8 extra
-# static taps on an 8-row-taller window -- exact, integer shifts land
-# on hat weight 1), and the column remainder (0..127) is peeled with a
-# 0/1 selection matmul on the MXU (exact, ~40 MFLOP/tile ~= 1 us).
+# fetched at the floored-aligned start and BOTH remainders are peeled
+# in VMEM with exact integer shifts: the row remainder (0..7) by a
+# sublane shift (selection matmul / non-negative rotate, same strategy
+# knob as below), the column remainder (0..127) likewise on the lane
+# axis -- 0/1 selection matmuls on the MXU by default (exact,
+# ~40 MFLOP/tile ~= 1 us).
 
 
 # Remainder peel strategy: "matmul" (default) uses exact 0/1 selection
@@ -834,6 +835,15 @@ def _warp_tiled_impl(img: jax.Array, flow: jax.Array, tile: tuple[int, int],
     bw = tw + 2 * margin + 1          # logical window cols
     bh_a = -(-bh // 8) * 8
     bw_a = -(-(bw + 127) // 128) * 128  # cols incl. col remainder
+    if _WARP_XSHIFT == "roll" and (bw_a & (bw_a - 1)) != 0:
+        # the Mosaic dynamic lane rotate is only bit-exact at
+        # power-of-two widths on this toolchain (check_warp_128.log:
+        # max err 7.08 at the 384-wide window) -- selecting it here
+        # would silently corrupt the warp
+        raise ValueError(
+            f"PANOSTITCH_WARP_XSHIFT=roll needs a power-of-two aligned "
+            f"window width, got {bw_a} (tile {tile}); use the default "
+            f"matmul peel")
     # padded-coords DMA start ranges: rows [0, hp - th + pad + max_off
     # - margin] floored to 8; cols likewise floored to 128.  Pad the
     # bottom/right so the largest window stays in bounds.

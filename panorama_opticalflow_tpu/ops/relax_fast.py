@@ -118,61 +118,24 @@ def warp_by_flow_tiled(img: jax.Array, flow: jax.Array, tile_h: int = 64,
     return jnp.moveaxis(out, 0, 2)[:h, :w]
 
 
-def warp_by_flow_shift(img: jax.Array, flow: jax.Array, margin: int = 8,
-                       max_off: int = 96) -> jax.Array:
-    """W(x) = img(x + flow(x)) with bilinear sampling, clamp-to-edge --
-    the small-level fast path of ``warp_by_flow_tiled``.
 
-    One GLOBAL integer offset (round(mean flow), one dynamic_slice of the
-    edge-padded plane stack) replaces the per-tile block gather, and the
-    per-pixel residual is applied with the same two separable 1-D hat
-    passes.  The per-tile formulation's vmapped ~100-block dynamic-slice
-    gather costs ~4-6 ms of per-level FIXED overhead on the v5e tunnel
-    (tools/bench_flow_level.py r3: warp 5.8 ms at 0.66 MP vs 15.2 ms at
-    3.6 MP); this is pure fused VPU fma (~(2*margin+1) taps/axis).  Only
-    valid where |flow - mean| stays within ``margin`` -- true at coarse
-    pyramid levels, whose flows are scaled down with the level; residuals
-    beyond the margin clamp exactly like the tiled path's, and the
-    chosen cutover (FlowParams.shift_warp_max_pixels) is gated by the
-    oracle EPE / golden SSIM suites."""
-    h, w, c = img.shape
-    planes = jnp.moveaxis(img, 2, 0)
-    mean = jnp.rint(flow.mean(axis=(0, 1)))                # (2,) (fx, fy)
-    off = jnp.clip(mean, -max_off, max_off).astype(jnp.int32)
-    pad = max_off + margin + 1
-    big = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
-    bh, bw = h + 2 * margin + 1, w + 2 * margin + 1
-    win = jax.lax.dynamic_slice(
-        big, (0, pad + off[1] - margin, pad + off[0] - margin), (c, bh, bw))
-
-    res = flow - off.astype(jnp.float32)
-    rx = jnp.clip(res[..., 0], -(margin - 1e-3), margin - 1e-3)
-    ry = jnp.clip(res[..., 1], -(margin - 1e-3), margin - 1e-3)
-    rx_ext = jnp.pad(rx, ((margin, margin + 1), (0, 0)), mode="edge")
-    accx = jnp.zeros((c, bh, w), jnp.float32)
-    for ox in range(-margin, margin + 1):
-        wx = _hat(rx_ext - ox)                              # (bh, w)
-        sl = jax.lax.slice(win, (0, 0, ox + margin),
-                           (c, bh, ox + margin + w))
-        accx = accx + wx[None] * sl
-    accy = jnp.zeros((c, h, w), jnp.float32)
-    for oy in range(-margin, margin + 1):
-        wy = _hat(ry - oy)                                  # (h, w)
-        sl = jax.lax.slice(accx, (0, oy + margin, 0),
-                           (c, oy + margin + h, w))
-        accy = accy + wy[None] * sl
-    return jnp.moveaxis(accy, 0, 2)
+# A third warp variant -- a GLOBAL-shift hat warp (one mean-flow
+# dynamic_slice instead of the per-tile block gather) -- lived here in
+# rounds 3-4 as `warp_by_flow_shift`.  It was DELETED in round 5: the
+# TPU backend corrupted its output shape-dependently (black top band,
+# head-to-head SSIM 0.416 vs the reference binary at 2250x1000) while
+# every CPU gate stayed green (r4 bisect, artifacts/h2h_*.log), the
+# suspected trigger being the carry-dependent dynamic_slice offset
+# inside the scanned rung body.  The Pallas warp kernel covers its
+# fixed-overhead regime (engaged at all levels on TPU, bit-exact vs the
+# XLA warp), so the path was dead-but-armed risk with no remaining
+# upside.  See ROADMAP r4 item 3 / VERDICT r4 weak #3.
 
 
 def warp_by_flow_auto(img: jax.Array, flow: jax.Array,
                       params: FlowParams) -> jax.Array:
-    """Per-level warp dispatch: global-shift hat warp at small levels
-    (fixed-overhead bound), per-tile block warp at large ones (the
-    Pallas dynamic-offset-DMA kernel on TPU, the XLA block gather
-    otherwise)."""
-    h, w = img.shape[:2]
-    if h * w <= params.shift_warp_max_pixels:
-        return warp_by_flow_shift(img, flow)
+    """Per-level warp dispatch: the Pallas dynamic-offset-DMA kernel on
+    TPU, the XLA per-tile block gather otherwise."""
     if params.use_pallas and params.warp_pallas:
         from panorama_opticalflow_tpu.ops.pallas import kernels
 

@@ -103,15 +103,35 @@ class TileConfig:
     min_tiled_rows: int = 48
     level_halo: int = 48
     use_pallas_in_shardmap: bool = True
-    # Fine-grained shard_map kernel gates.  The r4 bisect
-    # (artifacts/bisect_shardmap_2250*.log) pinned the residual
-    # large-program miscompile to the relax/median AND fused-blur
-    # kernel classes (each trips the non-finite canary even alone),
-    # while the warp kernel ALONE in the full windowed sharded stitch
-    # is clean -- so the defaults ship warp-only: jnp relax + XLA
-    # blurs + Pallas warp in shard_map, still guarded by the runtime
-    # canary.  Flip the other two back on after the round-5
-    # kernels-outside-shard_map restructure.
+    # Sharded flow-solver structure (round 5): "hybrid" runs the per-
+    # level solver OUTSIDE shard_map on halo-extended row-tile stacks
+    # under GSPMD, with the Pallas kernels partitioned over the tile
+    # batch dim via custom_partitioning (parallel/hybrid.py) -- the
+    # structural escape from the Mosaic-in-shard_map miscompile class,
+    # with ALL kernel classes enabled.  "shardmap" is the r3/r4 all-
+    # inside-one-shard_map path (kernel classes gated below).  Both are
+    # guarded by the runtime non-finite-flow canary; a hybrid trip
+    # falls back to "shardmap", a shardmap trip to its jnp path.
+    # CANARY BLIND SPOT (keep in mind for gates): the canary counts
+    # non-finite values only -- a finite-but-wrong miscompile (like the
+    # r4 shift-warp black band) passes it, and TPU-vs-TPU self-checks
+    # share the defect; only the reference-binary head-to-head
+    # (tools/compare_reference.py --backend tpu) catches that class.
+    flow_mode: str = "hybrid"
+    # Let the hybrid path's replicated coarse tail (small levels, plain
+    # pixflow on replicated arrays) use the Pallas kernels too; off
+    # forces the tail to the jnp path (the kernels there sit under
+    # GSPMD replication, a different partitioner regime than the
+    # row-sharded tile batches).
+    hybrid_tail_kernels: bool = True
+    # Fine-grained shard_map kernel gates ("shardmap" mode only).  The
+    # r4 bisect (artifacts/bisect_shardmap_2250*.log) pinned the
+    # residual large-program miscompile to the relax/median AND
+    # fused-blur kernel classes (each trips the non-finite canary even
+    # alone), while the warp kernel ALONE in the full windowed sharded
+    # stitch is clean -- so the defaults ship warp-only: jnp relax +
+    # XLA blurs + Pallas warp in shard_map, still guarded by the
+    # runtime canary.
     shardmap_relax_kernels: bool = False
     shardmap_fused_blurs: bool = False
     shardmap_warp_kernel: bool = True
@@ -961,10 +981,73 @@ def _flow_health(flr: jax.Array, frl: jax.Array, axis: str) -> jax.Array:
     return jax.lax.psum(bad.astype(jnp.int32), axis)
 
 
-# Trips permanently (per process) when a kernels-on sharded stitch
+# ---------------------------------------------------------------------------
+# Hybrid stitch segments (flow solved OUTSIDE shard_map, see
+# parallel/hybrid.py): the per-pair stitch splits into a pre-flow
+# shard_map segment (map/overlap/blend), the hybrid flow solve, and a
+# post-flow shard_map segment (combine/gather).
+# ---------------------------------------------------------------------------
+
+
+def _pre_flow_body(image_l, image_r, roll=None, *, cfg: StitchConfig,
+                   axis: str, n: int, h_global: int,
+                   width: int | None = None):
+    """Pre-flow shard_map segment: canvas map, overlap extraction and
+    the blend field.  Returns (flow_in_l, flow_in_r, blend): the flow
+    solver's inputs are the windowed overlaps (windowed path) or the
+    wrap-extended overlaps (full path, extension cropped off the flows
+    in the post segment)."""
+    canvas_map = stitcher.match_images(image_l, image_r)
+    ol = stitcher.extract_overlap(image_l, canvas_map)
+    orr = stitcher.extract_overlap(image_r, canvas_map)
+    w = canvas_map.shape[1]
+    if width is not None and width < w:
+        def win(a):
+            return jnp.roll(a, -roll, axis=1)[:, :width]
+
+        blend_w, _ = _tiled_generate_blend(canvas_map, cfg, axis, n,
+                                           h_global, window=(roll, width))
+        return win(ol), win(orr), blend_w
+    blend, _ = _tiled_generate_blend(canvas_map, cfg, axis, n, h_global)
+    length = w // cfg.flow_extend_div
+    return (im.wrap_extend_x(ol, length), im.wrap_extend_x(orr, length),
+            blend)
+
+
+def _post_flow_body(image_l, image_r, fl, fr, flr, frl, blend, roll=None, *,
+                    cfg: StitchConfig, axis: str, h_global: int,
+                    tc: "TileConfig", width: int | None = None,
+                    gather_windowed: bool = False):
+    """Post-flow shard_map segment: combine the novel views and gather
+    the final composite.  ``fl``/``fr`` are the same arrays the pre
+    segment handed to the flow solver."""
+    canvas_map = stitcher.match_images(image_l, image_r)
+    h_loc, w = canvas_map.shape
+    if width is not None and width < w:
+        merged_w = _tiled_combine(fl, fr, flr, frl, blend, axis, tc)
+        merged = jnp.zeros((h_loc, w, 4), jnp.uint8)
+        merged = jax.lax.dynamic_update_slice(merged, merged_w, (0, 0, 0))
+        merged = jnp.roll(merged, roll, axis=1)
+        gw = (roll, width) if gather_windowed else None
+        return _tiled_gather(canvas_map, image_l, image_r, merged, cfg,
+                             axis, h_global, window=gw)
+    length = w // cfg.flow_extend_div
+    ol = im.crop_x(fl, length)
+    orr = im.crop_x(fr, length)
+    flr_c = im.crop_x(flr, length)
+    frl_c = im.crop_x(frl, length)
+    merged = _tiled_combine(ol, orr, flr_c, frl_c, blend, axis, tc)
+    return _tiled_gather(canvas_map, image_l, image_r, merged, cfg,
+                         axis, h_global)
+
+
+# Trip permanently (per process) when a kernels-on sharded stitch
 # produces non-finite flow -- the runtime analogue of the reference's
 # GPU-unusable -> CPU fallback (GPU/OpticalFlow.cpp:132-155) for the
-# axon Mosaic-in-shard_map miscompile class.
+# axon Mosaic toolchain bug classes.  The ladder: hybrid (kernels via
+# custom_partitioning) -> shardmap (warp-only kernels in shard_map)
+# -> shardmap with kernels off.
+_hybrid_tripped = False
 _mosaic_shardmap_tripped = False
 
 
@@ -981,8 +1064,13 @@ def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
     crop.pair_window / crop.plan_chain_windows) -- the sharded twin of
     stitch_pair_auto's work-saving crop; pass it to avoid full-canvas
     flow/blend/combine work.
+
+    Kernels-on calls host-sync on the canary scalar before returning
+    (intentional: a corrupted pair must not feed the next chain stage;
+    the workload is ~98% device-bound so the lost dispatch overlap is
+    noise -- revisit only if chain overlap ever dominates).
     """
-    global _mosaic_shardmap_tripped
+    global _hybrid_tripped, _mosaic_shardmap_tripped
     h, w = image_l.shape[:2]
     n = int(np.prod([mesh.shape[a] for a in (axis,)]))
     hp = _cdiv(h, n) * n
@@ -996,13 +1084,19 @@ def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
     lp = jax.device_put(jnp.pad(image_l, pad), sh)
     rp = jax.device_put(jnp.pad(image_r, pad), sh)
 
+    if _hybrid_tripped and tc.flow_mode == "hybrid":
+        tc = dataclasses.replace(tc, flow_mode="shardmap")
     if _mosaic_shardmap_tripped and tc.use_pallas_in_shardmap:
         tc = dataclasses.replace(tc, use_pallas_in_shardmap=False)
 
     def call(tc_used):
         # kernels-on runs carry a flow-health scalar so a miscompile is
-        # detected at runtime instead of shipping a garbage panorama
-        health = tc_used.use_pallas_in_shardmap
+        # detected at runtime instead of shipping a garbage panorama.
+        # NOTE the canary's blind spot: it counts NON-FINITE values
+        # only; finite-but-wrong output needs the reference-binary
+        # head-to-head gate (see TileConfig docstring).
+        health = (tc_used.flow_mode == "hybrid"
+                  or tc_used.use_pallas_in_shardmap)
         if window is not None and window[1] < w:
             roll, width, gsafe = (window if len(window) == 3
                                   else (*window, False))
@@ -1019,14 +1113,24 @@ def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
     if bad is not None and int(bad) > 0:
         import logging
 
-        logging.getLogger(__name__).error(
-            "non-finite flow from the kernels-on sharded stitch "
-            "(%d values): Mosaic-in-shard_map miscompile detected; "
-            "falling back to the jnp sharded path for this process "
-            "(see TileConfig.use_pallas_in_shardmap)", int(bad))
-        _mosaic_shardmap_tripped = True
-        out, _ = call(dataclasses.replace(tc,
-                                          use_pallas_in_shardmap=False))
+        log = logging.getLogger(__name__)
+        if tc.flow_mode == "hybrid":
+            log.error(
+                "non-finite flow from the hybrid sharded stitch "
+                "(%d values): falling back to the in-shard_map path "
+                "for this process (see TileConfig.flow_mode)", int(bad))
+            _hybrid_tripped = True
+            tc = dataclasses.replace(tc, flow_mode="shardmap")
+            out, bad = call(tc)
+        if bad is not None and int(bad) > 0:
+            log.error(
+                "non-finite flow from the kernels-on sharded stitch "
+                "(%d values): Mosaic-in-shard_map miscompile detected; "
+                "falling back to the jnp sharded path for this process "
+                "(see TileConfig.use_pallas_in_shardmap)", int(bad))
+            _mosaic_shardmap_tripped = True
+            out, _ = call(dataclasses.replace(
+                tc, use_pallas_in_shardmap=False))
     return out[:h]
 
 
@@ -1047,6 +1151,9 @@ def _tiled_stitch_jit(mesh, axis: str, n: int, h_global: int,
 
     ``with_health`` adds a replicated non-finite-flow count output (the
     runtime miscompile canary, see tiled_stitch_pair)."""
+    if tc.flow_mode == "hybrid":
+        return _hybrid_stitch_jit(mesh, axis, n, h_global, cfg, tc, width,
+                                  gsafe, with_health)
     out_specs = (P(axis), P()) if with_health else P(axis)
     if width is not None:
         body = partial(_tiled_stitch_pair_body, cfg=cfg, axis=axis, n=n,
@@ -1060,6 +1167,47 @@ def _tiled_stitch_jit(mesh, axis: str, n: int, h_global: int,
     return jax.jit(shard_map(body, mesh=mesh,
                              in_specs=(P(axis), P(axis)),
                              out_specs=out_specs, check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _hybrid_stitch_jit(mesh, axis: str, n: int, h_global: int,
+                       cfg: StitchConfig, tc: TileConfig,
+                       width: int | None, gsafe: bool,
+                       with_health: bool = False):
+    """Cached jitted hybrid sharded-stitch program: pre-flow shard_map
+    segment -> hybrid flow (kernels outside shard_map, see
+    parallel/hybrid.py) -> post-flow shard_map segment, all one jit
+    (one dispatch per pair, like the all-inside-shard_map program)."""
+    from panorama_opticalflow_tpu.parallel import hybrid
+
+    params = cfg.flow_params
+    win = width is not None
+    pre_specs = (P(axis), P(axis)) + ((P(),) if win else ())
+    pre = shard_map(
+        partial(_pre_flow_body, cfg=cfg, axis=axis, n=n,
+                h_global=h_global, width=width),
+        mesh=mesh, in_specs=pre_specs,
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
+    post_specs = (P(axis),) * 7 + ((P(),) if win else ())
+    post = shard_map(
+        partial(_post_flow_body, cfg=cfg, axis=axis, h_global=h_global,
+                tc=tc, width=width, gather_windowed=gsafe),
+        mesh=mesh, in_specs=post_specs, out_specs=P(axis),
+        check_vma=False)
+
+    def prog(lp, rp, roll=None):
+        extra = (roll,) if win else ()
+        fl, fr, blend = pre(lp, rp, *extra)
+        flr, frl = hybrid.hybrid_flow_pair(
+            fl, fr, params, ("left", "right"), mesh, axis, n, h_global, tc)
+        out = post(lp, rp, fl, fr, flr, frl, blend, *extra)
+        if with_health:
+            bad = (jnp.sum(~jnp.isfinite(flr))
+                   + jnp.sum(~jnp.isfinite(frl))).astype(jnp.int32)
+            return out, bad
+        return out
+
+    return jax.jit(prog)
 
 
 def tiled_stitch_pair_auto(image_l: jax.Array, image_r: jax.Array,

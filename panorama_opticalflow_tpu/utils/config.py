@@ -131,19 +131,9 @@ class FlowParams:
     # 1/0.81 area).  1 = off (default: the fine levels dominate runtime,
     # so they stay exact-shaped unless compile time forces pairing).
     scan_fine_rung_levels: int = 1
-    # Levels at or below this pixel count use the global-shift hat warp
-    # (ops/relax_fast.warp_by_flow_shift) instead of the per-tile block
-    # warp for the per-phase gradient recentring.  DEFAULT OFF (r4): on
-    # the TPU backend this path CORRUPTS output at some preset/canvas
-    # shape classes (black top band, head-to-head vs the reference
-    # binary 0.416 at 2250x1000 pixflow_low; bisect matrix
-    # artifacts/h2h_*.log -- disabling ONLY this knob restores 0.9990)
-    # while the CPU backend is clean everywhere, so the CPU test suite
-    # cannot gate it.  The per-level fixed overhead it saved (~4-6 ms
-    # of vmapped dynamic-slice block gather at coarse levels) is now
-    # mostly recouped by the r4 Pallas warp kernel, which engages at
-    # ALL levels on TPU and is hardware-validated bit-exact.  0 = off.
-    shift_warp_max_pixels: int = 0
+    # (The r3-r4 `shift_warp_max_pixels` knob -- a global-shift warp for
+    # small levels -- was deleted in r5 after its TPU-only output
+    # corruption; see ops/relax_fast.py.)
     # Relax kernel tile (rows, cols).  Bigger tiles amortise the halo
     # overlap (the (64, 256) tile recomputes ~2x; (64, 512) ~1.7x) at
     # the cost of VMEM scratch; bounded by the 16 MB scoped-vmem limit.
@@ -164,8 +154,8 @@ class FlowParams:
     # cv2-style reflect-101 (a <=7 px border band, SSIM-gated).
     fuse_level_blurs: bool = True
     # Use the Pallas warp kernel (ops/pallas/kernels.warp_tiled_pallas)
-    # for the per-phase gradient recentring at levels above
-    # shift_warp_max_pixels: per-tile dynamic-offset DMA + in-VMEM
+    # for the per-phase gradient recentring at every level:
+    # per-tile dynamic-offset DMA + in-VMEM
     # residual hat passes replace the XLA block-gather warp's vmapped
     # dynamic_slice and layout shuffle (~15 ms -> ~2 ms per level-pair
     # at the 36 MP headline's finest level).  Gated by use_pallas.

@@ -166,30 +166,3 @@ def test_pair_solver_matches_two_single_calls(rng):
             d = np.abs(np.asarray(got) - ref)
             assert d.mean() < 0.01, (alg, d.mean())
             assert (d > 0.2).mean() < 0.01, (alg, (d > 0.2).mean())
-
-
-def test_warp_by_flow_shift_matches_tiled_warp(rng):
-    """The small-level global-shift warp (r4 fixed-overhead lever) must
-    agree with the per-tile block warp on smooth flows (both share the
-    separable-hat residual formulation; they may differ only through
-    their different integer recentring, a first-order-in-smoothness
-    term) and be exact on constant flows."""
-    from panorama_opticalflow_tpu.ops.relax_fast import (
-        warp_by_flow_shift, warp_by_flow_tiled)
-
-    h, w, c = 96, 200, 2
-    img = rng.standard_normal((h, w, c)).astype(np.float32)
-    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-
-    const = np.broadcast_to(np.array([11.3, -6.2], np.float32),
-                            (h, w, 2)).copy()
-    a = np.asarray(warp_by_flow_shift(jnp.asarray(img), jnp.asarray(const)))
-    b = np.asarray(warp_by_flow_tiled(jnp.asarray(img), jnp.asarray(const)))
-    np.testing.assert_array_equal(a, b)
-
-    smooth = np.stack([11.3 + 3 * np.sin(yy / 250.0)
-                       + 2 * np.cos(xx / 300.0),
-                       -6.2 + 2 * np.cos(yy / 200.0)], -1).astype(np.float32)
-    a = np.asarray(warp_by_flow_shift(jnp.asarray(img), jnp.asarray(smooth)))
-    b = np.asarray(warp_by_flow_tiled(jnp.asarray(img), jnp.asarray(smooth)))
-    assert np.abs(a - b).max() < 0.05

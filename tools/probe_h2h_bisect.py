@@ -35,7 +35,8 @@ if knob in ("nowarpk", "nokernels", "noshift"):
         if knob == "nokernels":
             return dataclasses.replace(p, use_pallas=False)
         if knob == "noshift":
-            return dataclasses.replace(p, shift_warp_max_pixels=0)
+            # the shift warp was deleted in r5; the knob is now a no-op
+            return p
         return dataclasses.replace(p, warp_pallas=False)
 
     cfgmod.flow_params_by_name = patched
