@@ -391,7 +391,7 @@ def _level_core(
 
     ``knd`` is an optional kernel namespace with the
     ``ops.pallas.kernels`` entry signatures; the hybrid sharded solver
-    passes ``ops.pallas.partition.CPKernels`` so each kernel call
+    passes ``ops.pallas.partition.PartitionedKernels`` so each call
     partitions over the leading (tile) batch dim under GSPMD instead of
     running inside a shard_map body (see parallel/hybrid.py).  ``None``
     uses the plain kernels.

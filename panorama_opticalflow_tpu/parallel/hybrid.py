@@ -13,11 +13,11 @@ sharded flow solve exactly as VERDICT r4 / ROADMAP item 2 prescribe:
 * the per-level solver runs BETWEEN those segments on halo-extended
   row-tile stacks ``(T, 2, h_loc + 2*halo, W)`` under ordinary
   GSPMD/Shardy partitioning (the tile batch dim is sharded over the row
-  mesh), with each Pallas kernel partitioned over that batch dim via
-  ``jax.experimental.custom_partitioning``
-  (ops/pallas/partition.CPKernels) -- so the partitioned module contains
-  Mosaic custom-calls with no manual-sharding wrappers, the same shape
-  as the proven-clean single-chip program;
+  mesh), with each Pallas kernel partitioned over that batch dim
+  through a MINIMAL one-kernel shard_map
+  (ops/pallas/partition.PartitionedKernels) -- every manual-sharding
+  region contains exactly one Mosaic custom-call and nothing the
+  scheduler can misorder around it;
 * pyramid levels too small to tile are computed replicated (plain
   ``models.pixflow`` calls on replicated arrays), identical work per
   device, exactly like the all-inside-shard_map path.
@@ -75,7 +75,10 @@ def hybrid_flow_pair(rgba0: jax.Array, rgba1: jax.Array, params: FlowParams,
 
     h_pad, w = rgba0.shape[:2]
     assert h_pad % n == 0
-    knd = partition.CPKernels(axis) if n > 1 else None
+    # partitioned wrappers engage at n == 1 too: the single real chip
+    # can then hardware-gate the exact kernel-invocation path the mesh
+    # uses
+    knd = partition.PartitionedKernels(mesh, axis)
     params_tail = params if tc.hybrid_tail_kernels else \
         dataclasses.replace(params, use_pallas=False)
 
@@ -107,6 +110,11 @@ def hybrid_flow_pair(rgba0: jax.Array, rgba1: jax.Array, params: FlowParams,
     tiled_level = [sizes[k][0] // n >= max(tc.min_tiled_rows,
                                            tc.level_halo + 1)
                    for k in range(len(sizes))]
+    # the coarsest level always runs replicated: it needs the
+    # zero/search init (direction hints), is tiny at production aspect
+    # ratios anyway, and whole-canvas init matches the untiled solver's
+    # semantics exactly (per-tile init would fragment the search)
+    tiled_level[-1] = False
 
     # ---- pyramids: channel-stacked [i0, a0, i1, a1] per level ----
     lvl0 = jnp.concatenate([ia0, ia1], axis=-1)     # (n*hb0, dw, 4)

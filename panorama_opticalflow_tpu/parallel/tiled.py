@@ -106,7 +106,8 @@ class TileConfig:
     # Sharded flow-solver structure (round 5): "hybrid" runs the per-
     # level solver OUTSIDE shard_map on halo-extended row-tile stacks
     # under GSPMD, with the Pallas kernels partitioned over the tile
-    # batch dim via custom_partitioning (parallel/hybrid.py) -- the
+    # batch dim via one-kernel shard_maps (parallel/hybrid.py,
+    # ops/pallas/partition.py) -- the
     # structural escape from the Mosaic-in-shard_map miscompile class,
     # with ALL kernel classes enabled.  "shardmap" is the r3/r4 all-
     # inside-one-shard_map path (kernel classes gated below).  Both are
@@ -1045,7 +1046,7 @@ def _post_flow_body(image_l, image_r, fl, fr, flr, frl, blend, roll=None, *,
 # produces non-finite flow -- the runtime analogue of the reference's
 # GPU-unusable -> CPU fallback (GPU/OpticalFlow.cpp:132-155) for the
 # axon Mosaic toolchain bug classes.  The ladder: hybrid (kernels via
-# custom_partitioning) -> shardmap (warp-only kernels in shard_map)
+# one-kernel shard_maps) -> shardmap (warp-only kernels in shard_map)
 # -> shardmap with kernels off.
 _hybrid_tripped = False
 _mosaic_shardmap_tripped = False

@@ -70,6 +70,43 @@ def check_shardmap():
           'shard_map by default)'}")
 
 
+def check_hybrid():
+    """Round-5 restructure gate on real hardware: the hybrid sharded
+    stitch (kernels OUTSIDE shard_map via custom_partitioning,
+    parallel/hybrid.py) at the small-tile shape where the in-shard_map
+    kernels trip the canary.  Expected: NO canary trip (the module
+    global stays False) and SSIM ~1 vs the untiled production stitch.
+    """
+    import dataclasses
+
+    from panorama_opticalflow_tpu.models import pipeline
+    from panorama_opticalflow_tpu.parallel import tiled
+    from panorama_opticalflow_tpu.parallel.mesh import make_mesh
+    from panorama_opticalflow_tpu.utils import io as pio
+    from panorama_opticalflow_tpu.utils.config import StitchConfig
+    from panorama_opticalflow_tpu.utils.metrics import ssim
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    h, w = 512, 1024
+    photos, _ = pio.synthesize_fisheye_set(h, w, n=2, seed=1, with_top=False)
+    l, r = (jnp.asarray(p) for p in photos)
+    cfg = StitchConfig(flow_alg="pixflow_low")
+    tc = tiled.TileConfig(
+        min_tiled_rows=32, flow_mode="hybrid",
+        level_halo=tiled.derive_level_halo(cfg.flow_params,
+                                           flow_sample_margin=0))
+    mesh = make_mesh(1)
+    ref = np.asarray(pipeline.stitch_pair(l, r, cfg))
+    t0 = time.time()
+    out = np.asarray(tiled.tiled_stitch_pair(l, r, cfg, mesh, "y", tc))
+    wall = time.time() - t0
+    s = ssim(out[..., :3].astype(np.float32), ref[..., :3].astype(np.float32))
+    tripped = tiled._hybrid_tripped
+    print(f"hybrid sharded stitch (1-dev mesh, partitioned kernels): SSIM {s:.4f}"
+          f" canary_tripped={tripped} wall={wall:.1f}s "
+          f"{'OK' if s >= 0.995 and not tripped else 'FAIL'}")
+
+
 def check_fused():
     """Hardware check of the round-3 fused kernels (median5+diffusion;
     in-kernel blurred-flow target) vs the jnp compositions."""
@@ -183,6 +220,9 @@ def check_warp():
 def main():
     if "--shardmap" in sys.argv:
         check_shardmap()
+
+    if "--hybrid" in sys.argv:
+        check_hybrid()
         return
     if "--fused" in sys.argv:
         check_fused()
