@@ -95,13 +95,91 @@ def worker(out_dir: str) -> None:
         np.save(os.path.join(out_dir, "ref.npy"), ref)
 
 
+def worker_slim(out_dir: str) -> None:
+    """Slim multi-controller bring-up (default-suite variant, VERDICT r4
+    weak #6): jax.distributed init, global 8-device mesh across the two
+    processes, cross-process ppermute halo exchange + summary-exchange
+    distance scan + psum -- the collective machinery of the sharded
+    stitch -- validated exactly against the single-process ops, without
+    the full stitch program's multi-minute compile."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from panorama_opticalflow_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
+
+    from functools import partial
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from panorama_opticalflow_tpu.ops import distance
+    from panorama_opticalflow_tpu.parallel import tiled
+
+    n = len(jax.devices())
+    assert n == NPROC * DEVS_PER_PROC, (n, jax.process_count())
+    mesh = Mesh(np.array(jax.devices()), ("y",))
+    axis = "y"
+    sh = NamedSharding(mesh, P(axis))
+
+    rng = np.random.default_rng(3)
+    h, w, step = 64, 96, 4
+    mask = rng.random((h, w)) < 0.02
+
+    def mk(g):
+        return jax.make_array_from_callback(g.shape, sh, lambda i: g[i])
+
+    # cross-process summary-exchange scan (ppermute-free but all_gather
+    # across processes) vs the single-process strided scan
+    scan = jax.jit(shard_map(
+        partial(tiled._sharded_strided_first_hit_axis0, step=step,
+                reverse=False, axis=axis),
+        mesh=mesh, in_specs=P(axis), out_specs=P(axis), check_vma=False))
+    got = np.asarray(multihost_utils.process_allgather(
+        scan(mk(mask)), tiled=True))
+    ref = np.asarray(distance._strided_first_hit_axis0(
+        jnp.asarray(mask), step, reverse=False))
+    scan_ok = bool(np.array_equal(got, ref, equal_nan=True))
+
+    # cross-process ppermute halo exchange vs a numpy reconstruction
+    halo = 3
+    x = rng.standard_normal((h, w)).astype(np.float32)
+    ex = jax.jit(shard_map(
+        lambda a: tiled._exchange_rows(a, halo, axis)[None],
+        mesh=mesh, in_specs=P(axis), out_specs=P(axis), check_vma=False))
+    st = np.asarray(multihost_utils.process_allgather(ex(mk(x)),
+                                                      tiled=True))
+    hl = h // n
+    halo_ok = True
+    for d in range(1, n - 1):  # interior tiles: pure neighbour rows
+        want = x[d * hl - halo:(d + 1) * hl + halo]
+        halo_ok &= bool(np.array_equal(st[d], want))
+
+    # cross-process psum
+    tot = jax.jit(shard_map(
+        lambda a: jax.lax.psum(jnp.sum(a), axis),
+        mesh=mesh, in_specs=P(axis), out_specs=P(), check_vma=False))(mk(x))
+    psum_ok = bool(abs(float(tot) - float(x.sum())) < 1e-3 * abs(x.sum()))
+
+    if jax.process_index() == 0:
+        np.save(os.path.join(out_dir, "slim_ok.npy"),
+                np.array([scan_ok, halo_ok, psum_ok]))
+
+
 def main() -> int:
+    slim = "--slim" in sys.argv
     if "--worker" in sys.argv:
-        worker(sys.argv[sys.argv.index("--worker") + 1])
+        w = worker_slim if slim else worker
+        w(sys.argv[sys.argv.index("--worker") + 1])
         return 0
 
     out_dir = tempfile.mkdtemp(prefix="panomp_")
-    port = 12357
+    port = 12358 if slim else 12357
     procs = []
     for pid in range(NPROC):
         env = dict(os.environ)
@@ -117,7 +195,8 @@ def main() -> int:
                 os.path.abspath(__file__))),
         })
         procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker", out_dir],
+            [sys.executable, os.path.abspath(__file__), "--worker", out_dir]
+            + (["--slim"] if slim else []),
             env=env))
     rcs = [p.wait(timeout=1200) for p in procs]
     if any(rcs):
@@ -125,6 +204,16 @@ def main() -> int:
         return 1
 
     import numpy as np
+
+    if slim:
+        oks = np.load(os.path.join(out_dir, "slim_ok.npy"))
+        print(json.dumps({
+            "ok": bool(oks.all()), "processes": NPROC,
+            "devices": NPROC * DEVS_PER_PROC,
+            "scan_exact": bool(oks[0]), "halo_exact": bool(oks[1]),
+            "psum_ok": bool(oks[2]),
+        }))
+        return 0
 
     out = np.load(os.path.join(out_dir, "sharded.npy"))
     ref = np.load(os.path.join(out_dir, "ref.npy"))
