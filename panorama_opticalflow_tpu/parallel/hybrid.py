@@ -51,6 +51,40 @@ def _seg(mesh, body, in_specs, out_specs):
                      out_specs=out_specs, check_vma=False)
 
 
+def _resize_rows_tiles(x: jax.Array, plan, halo: int, n: int) -> jax.Array:
+    """Per-tile axis-1 row resize of a halo-extended tile stack, in
+    GSPMD-land (no shard_map segment): ``x`` is (n, h_a + 2*halo, W, C)
+    -- the solver's halo-extended output -- and the static per-tile
+    local source indices come straight from the global resize plan
+    (plan.halo <= halo, asserted by the caller).  Row taps within
+    ``plan.halo`` of a tile edge read the tile's own halo rows instead
+    of the neighbour's canonical interior values; those rows sit
+    ``halo - plan.halo`` deep, beyond the solver's hard receptive
+    radius, so the difference is bounded by the same flow-sample-margin
+    approximation the tiled path already documents (gated by the
+    tiled-vs-untiled SSIM tests).  Saves one shard_map segment (an
+    exchange + two region transitions) per pyramid level."""
+    import numpy as np
+
+    nb, hh, w, c = x.shape
+    assert nb == n
+    k = plan.idx.shape[1]
+    idx = plan.idx.reshape(n, plan.h_b, k)
+    base = (np.arange(n) * plan.h_a - halo)[:, None, None]
+    local = np.clip(idx - base, 0, hh - 1)
+    wts = plan.w.reshape(n, plan.h_b, k).astype(np.float32)
+
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (n, plan.h_b, hh), 2)
+    a = jnp.zeros((n, plan.h_b, hh), jnp.float32)
+    for m in range(k):
+        a = a + jnp.where(r_iota == jnp.asarray(local[:, :, m:m + 1]),
+                          jnp.asarray(wts[:, :, m:m + 1]), 0.0)
+    flat = x.astype(jnp.float32).reshape(n, hh, w * c)
+    out = jnp.einsum("nij,njk->nik", a, flat,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(n, plan.h_b, w, c)
+
+
 def _rep(mesh):
     return NamedSharding(mesh, P())
 
@@ -86,10 +120,25 @@ def hybrid_flow_pair(rgba0: jax.Array, rgba1: jax.Array, params: FlowParams,
     dw = int(w * params.downscale_factor)
     sf = params.pyr_scale_factor
 
-    # ---- prep segment: downscale + grey/alpha + pre-blur ----
+    sizes = pixflow.pyramid_sizes(dh, dw, params)
+    tiled_level = [sizes[k][0] // n >= max(tc.min_tiled_rows,
+                                           tc.level_halo + 1)
+                   for k in range(len(sizes))]
+    # the coarsest level always runs replicated: it needs the
+    # zero/search init (direction hints), is tiny at production aspect
+    # ratios anyway, and whole-canvas init matches the untiled solver's
+    # semantics exactly (per-tile init would fragment the search)
+    tiled_level[-1] = False
+    # leading tiled span [0, n_tiled) -- tiled_level is monotone (rows
+    # shrink), so one flag flip
+    n_tiled = next((k for k in range(len(sizes)) if not tiled_level[k]),
+                   len(sizes))
+
+    # ---- ONE segment: prep (downscale + grey/alpha + pre-blur) and
+    # every tiled pyramid level, channel-stacked [i0, a0, i1, a1] ----
     plan_ds = T.make_row_resize_plan(h_global, dh, n, "cubic")
 
-    def prep_body(r0, r1):
+    def prep_pyr_body(r0, r1):
         outs = []
         for rgba in (r0, r1):
             r = T._tiled_resize_cols(
@@ -101,43 +150,28 @@ def hybrid_flow_pair(rgba0: jax.Array, rgba1: jax.Array, params: FlowParams,
             i = T._tiled_gaussian_blur(i, params.pre_blur_kernel_width,
                                        params.pre_blur_sigma, axis)
             outs.append(jnp.stack([i, a], axis=-1))
-        return outs[0], outs[1]
+        levels = [jnp.concatenate(outs, axis=-1)]  # (hb0, dw, 4) local
+        for k in range(1, n_tiled):
+            (ph, _), (nh, nw) = sizes[k - 1], sizes[k]
+            plan = T.make_row_resize_plan(ph, nh, n, "linear")
+            levels.append(T._tiled_resize_cols(
+                T._tiled_resize_rows(levels[-1], plan, axis), nw, "linear"))
+        return tuple(levels)
 
-    ia0, ia1 = _seg(mesh, prep_body, (P(axis), P(axis)),
-                    (P(axis), P(axis)))(rgba0, rgba1)
+    pyr = list(_seg(mesh, prep_pyr_body, (P(axis), P(axis)),
+                    (P(axis),) * max(n_tiled, 1))(rgba0, rgba1))
 
-    sizes = pixflow.pyramid_sizes(dh, dw, params)
-    tiled_level = [sizes[k][0] // n >= max(tc.min_tiled_rows,
-                                           tc.level_halo + 1)
-                   for k in range(len(sizes))]
-    # the coarsest level always runs replicated: it needs the
-    # zero/search init (direction hints), is tiny at production aspect
-    # ratios anyway, and whole-canvas init matches the untiled solver's
-    # semantics exactly (per-tile init would fragment the search)
-    tiled_level[-1] = False
-
-    # ---- pyramids: channel-stacked [i0, a0, i1, a1] per level ----
-    lvl0 = jnp.concatenate([ia0, ia1], axis=-1)     # (n*hb0, dw, 4)
-    replicated = not tiled_level[0]
+    # ---- replicated tail levels (gather once, then plain resizes) ----
+    replicated = n_tiled == 0
     if replicated:
-        lvl0 = jax.lax.with_sharding_constraint(lvl0, _rep(mesh))[:dh]
-    pyr = [lvl0]
-    for k in range(1, len(sizes)):
+        pyr[0] = jax.lax.with_sharding_constraint(pyr[0], _rep(mesh))[:dh]
+    for k in range(max(n_tiled, 1), len(sizes)):
         (ph, _), (nh, nw) = sizes[k - 1], sizes[k]
         prev = pyr[-1]
-        if not replicated and tiled_level[k]:
-            plan = T.make_row_resize_plan(ph, nh, n, "linear")
-
-            def rs_body(x, plan=plan, nw=nw):
-                return T._tiled_resize_cols(
-                    T._tiled_resize_rows(x, plan, axis), nw, "linear")
-
-            pyr.append(_seg(mesh, rs_body, P(axis), P(axis))(prev))
-        else:
-            if not replicated:
-                prev = jax.lax.with_sharding_constraint(prev, _rep(mesh))[:ph]
-                replicated = True
-            pyr.append(im.resize(prev, (nh, nw), "linear"))
+        if not replicated:
+            prev = jax.lax.with_sharding_constraint(prev, _rep(mesh))[:ph]
+            replicated = True
+        pyr.append(im.resize(prev, (nh, nw), "linear"))
 
     def rep_level_planes(k):
         p = pyr[k]
@@ -216,20 +250,22 @@ def hybrid_flow_pair(rgba0: jax.Array, rgba1: jax.Array, params: FlowParams,
             ft = pixflow.patch_match_level_tiles(imgs_t, alphas_t, flow_t,
                                                  params, knd)
             fc = jnp.concatenate([ft[:, 0], ft[:, 1]], axis=-1)
-            fc = fc[:, halo:halo + hb]            # crop halos (local)
-            flow_c = jax.lax.with_sharding_constraint(
-                fc.reshape(n * hb, lw, 4), _rows(mesh, axis))
-
             if level > 0:
+                # in-GSPMD upsample straight off the halo-extended
+                # solver output (level - 1 is finer, hence also tiled)
                 nh, nw = sizes[level - 1]
                 plan = T.make_row_resize_plan(lh, nh, n, "cubic")
-
-                def fs_body(x, plan=plan, nw=nw):
-                    return T._tiled_resize_cols(
-                        T._tiled_resize_rows(x, plan, axis),
-                        nw, "cubic") * (1.0 / sf)
-
-                flow_c = _seg(mesh, fs_body, P(axis), P(axis))(flow_c)
+                assert plan.halo <= halo, (plan.halo, halo)
+                up = _resize_rows_tiles(fc, plan, halo, n)
+                up = T._tiled_resize_cols(
+                    up.reshape(n * plan.h_b, lw, 4), nw, "cubic") \
+                    * (1.0 / sf)
+                flow_c = jax.lax.with_sharding_constraint(
+                    up, _rows(mesh, axis))
+            else:
+                fc = fc[:, halo:halo + hb]        # crop halos (local)
+                flow_c = jax.lax.with_sharding_constraint(
+                    fc.reshape(n * hb, lw, 4), _rows(mesh, axis))
 
     # ---- final upsample to the input size + final blur ----
     if not tiled_level[0]:
