@@ -152,16 +152,22 @@ def _pad_spatial(img: jax.Array, ph: int, pw: int, mode: str) -> jax.Array:
     return jnp.pad(img, pad, mode=mode)
 
 
-def _conv_axis0(img: jax.Array, kernel: jax.Array, pad_mode: str) -> jax.Array:
-    """1-D correlation along axis 0 with symmetric padding, as shift+fma."""
+def _conv_axis0(img: jax.Array, kernel: jax.Array, pad_mode: str,
+                axis: int = 0) -> jax.Array:
+    """1-D correlation along ``axis`` with symmetric padding, as
+    shift+fma (pure VPU; no conv ops, no transposes -- a physical
+    (H, W) swapaxes on TPU is a lane/sublane shuffle that costs multi-
+    ms at pyramid scales and dominated the per-level fixed term until
+    round 5)."""
     k = kernel.shape[0]
     r = k // 2
-    pad = [(r, k - 1 - r)] + [(0, 0)] * (img.ndim - 1)
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (r, k - 1 - r)
     p = jnp.pad(img, pad, mode=pad_mode)
-    h = img.shape[0]
+    h = img.shape[axis]
     out = jnp.zeros_like(img)
     for i in range(k):
-        out = out + kernel[i] * jax.lax.slice_in_dim(p, i, i + h, axis=0)
+        out = out + kernel[i] * jax.lax.slice_in_dim(p, i, i + h, axis=axis)
     return out
 
 
@@ -169,8 +175,7 @@ def gaussian_blur(img: jax.Array, ksize: int, sigma: float) -> jax.Array:
     """cv::GaussianBlur with BORDER_REFLECT_101 (np 'reflect')."""
     kern = gaussian_kernel_1d(ksize, sigma)
     x = _conv_axis0(img, kern, "reflect")
-    x = jnp.swapaxes(_conv_axis0(jnp.swapaxes(x, 0, 1), kern, "reflect"), 0, 1)
-    return x
+    return _conv_axis0(x, kern, "reflect", axis=1)
 
 
 def sobel_x(img: jax.Array) -> jax.Array:

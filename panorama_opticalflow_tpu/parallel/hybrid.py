@@ -250,7 +250,22 @@ def hybrid_flow_pair(rgba0: jax.Array, rgba1: jax.Array, params: FlowParams,
             ft = pixflow.patch_match_level_tiles(imgs_t, alphas_t, flow_t,
                                                  params, knd)
             fc = jnp.concatenate([ft[:, 0], ft[:, 1]], axis=-1)
-            if level > 0:
+            import os as _os
+            if level > 0 and _os.environ.get("PANOSTITCH_HYBRID_RESIZE",
+                                             "gspmd") == "seg":
+                fcc = fc[:, halo:halo + hb]
+                flow_c = jax.lax.with_sharding_constraint(
+                    fcc.reshape(n * hb, lw, 4), _rows(mesh, axis))
+                nh, nw = sizes[level - 1]
+                plan = T.make_row_resize_plan(lh, nh, n, "cubic")
+
+                def fs_body(x, plan=plan, nw=nw):
+                    return T._tiled_resize_cols(
+                        T._tiled_resize_rows(x, plan, axis),
+                        nw, "cubic") * (1.0 / sf)
+
+                flow_c = _seg(mesh, fs_body, P(axis), P(axis))(flow_c)
+            elif level > 0:
                 # in-GSPMD upsample straight off the halo-extended
                 # solver output (level - 1 is finer, hence also tiled)
                 nh, nw = sizes[level - 1]

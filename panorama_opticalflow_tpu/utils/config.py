@@ -137,12 +137,18 @@ class FlowParams:
     # Relax kernel tile (rows, cols).  Bigger tiles amortise the halo
     # overlap (the (64, 256) tile recomputes ~2x; (64, 512) ~1.7x) at
     # the cost of VMEM scratch; bounded by the 16 MB scoped-vmem limit.
-    pallas_tile: tuple[int, int] = (64, 256)
+    # r5 default (64, 512): -18% relax iter time at the 36 MP finest
+    # level, -58% at mid-pyramid (probe_r5_levers.log); (128, 512)
+    # fails to compile (VMEM).  Relax output is tile-size-invariant
+    # (exact halo windows, per-pixel local math).
+    pallas_tile: tuple[int, int] = (64, 512)
     # Hold the warped-gradient windows (the largest per-tile buffers) in
     # bfloat16: halves their DMA bytes and VMEM, freeing headroom for
     # bigger tiles.  The rounding happens once at load; all arithmetic
-    # stays f32 (the jnp path quantises identically for parity).
-    w1_bf16: bool = False
+    # stays f32 (the jnp path quantises identically for parity).  r5
+    # default ON: with the (64, 512) tile, whole-level -15% vs the r4
+    # config (probe_r5_levers.log), EPE/golden/binary-h2h gated.
+    w1_bf16: bool = True
     # Fold the level's two 15x15 flow blurs into the Pallas kernels
     # (single-phase schedules on the Pallas path only): the relax kernel
     # computes the blurred-flow regularisation target from its own
