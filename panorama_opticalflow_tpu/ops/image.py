@@ -85,15 +85,46 @@ def _resize_axis0(img: jax.Array, out_size: int, method: Method) -> jax.Array:
     return (gathered * w).sum(axis=1)
 
 
+def _resize_matrix_dev(n_in: int, n_out: int, method: Method) -> jax.Array:
+    """The static resample plan as a dense (n_out, n_in) matrix built on
+    device from the compact per-tap plan (k iota-compare adds; border-
+    clamped duplicate taps coalesce by accumulation).  Same weights as
+    the gather path, applied as one matmul."""
+    idx, w = _resize_axis_plan(n_in, n_out, method)
+    k_io = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_in), 1)
+    a = jnp.zeros((n_out, n_in), jnp.float32)
+    for m in range(idx.shape[1]):
+        a = a + jnp.where(k_io == jnp.asarray(idx[:, m:m + 1]),
+                          jnp.asarray(w[:, m:m + 1].astype(np.float32)), 0.0)
+    return a
+
+
 def resize(img: jax.Array, out_hw: tuple[int, int], method: Method) -> jax.Array:
     """Separable resize of an (H, W) or (H, W, C) float array.
 
     Matches cv::resize INTER_LINEAR / INTER_CUBIC sampling (no anti-alias
-    filter, like OpenCV).  Rows then columns; both axes are static gathers
-    so the whole thing compiles to two fused gather+reduce passes.
+    filter, like OpenCV).  2-D planes (the hot path: every pyramid level
+    and flow upsample runs on channel-split planes) resample as two MXU
+    matmuls with on-device banded matrices -- XLA's gather runs far
+    below VPU throughput on TPU and the transpose-wrapped column pass
+    made resizes a per-level fixed cost (r4 flowlevel: ~5-9 ms/level
+    nearly size-independent).  Tap weights are identical to the gather
+    formulation; only the f32 accumulation order differs (HIGHEST
+    precision, no bf16).  Arrays with a channel dim keep the gather
+    path (cold: once-per-pair RGBA preprocessing).
     """
     out_h, out_w = out_hw
     x = img.astype(jnp.float32)
+    if img.ndim == 2:
+        hi = jax.lax.Precision.HIGHEST
+        if out_h != img.shape[0]:
+            x = jnp.dot(_resize_matrix_dev(x.shape[0], out_h, method), x,
+                        precision=hi)
+        if out_w != img.shape[1]:
+            b = _resize_matrix_dev(x.shape[1], out_w, method)
+            x = jax.lax.dot_general(x, b, (((1,), (1,)), ((), ())),
+                                    precision=hi)
+        return x
     if out_h != img.shape[0]:
         x = _resize_axis0(x, out_h, method)
     if out_w != img.shape[1]:
