@@ -77,12 +77,20 @@ def main() -> None:
             sys.exit(f"missing {ref_bin}; run tools/reference_baseline/"
                      "build.sh first")
         t0 = time.time()
+        # glibc.malloc.mmap_max=0: the reference's Gather walks rays out
+        # of bounds (/root/reference/CPU/StitchTool.cpp:78, UB); at
+        # >=36 MP canvases cv::Mat buffers come from mmap and the OOB
+        # read segfaults.  Forcing sbrk-heap allocations keeps the reads
+        # inside mapped memory, reproducing the in-bounds-by-luck
+        # behavior the reference has at small canvases.
+        env = dict(os.environ, GLIBC_TUNABLES="glibc.malloc.mmap_max=0")
         subprocess.run(
             [ref_bin, "-test_dir", d, "-top_img", "top.tif",
              # the reference only knows the two base presets; the
              # _fast variants are framework extensions gated against
              # the base reference output
-             "-flow_alg", args.flow_alg.replace("_fast", "")], check=True)
+             "-flow_alg", args.flow_alg.replace("_fast", "")],
+            check=True, env=env)
         out["ref_s"] = round(time.time() - t0, 2)
         os.rename(os.path.join(d, "FinalResult.png"), ref_png)
 
