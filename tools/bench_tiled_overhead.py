@@ -99,6 +99,7 @@ def main() -> int:
         "ssim_tiled_vs_untiled": round(float(s), 5),
         "compile_untiled_s": round(c_untiled, 1),
         "compile_tiled_s": round(c_tiled, 1),
+        "flow_mode": tc.flow_mode,
         "kernels_in_shardmap": tc.use_pallas_in_shardmap,
         "shardmap_gates": [tc.shardmap_relax_kernels,
                            tc.shardmap_fused_blurs,
