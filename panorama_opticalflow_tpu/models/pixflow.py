@@ -36,13 +36,15 @@ HINTS = ("unknown", "right", "down", "left", "up")
 
 def pyramid_sizes(h: int, w: int, params: FlowParams) -> list[tuple[int, int]]:
     """Level sizes, finest first (CPU/PixFlow.hpp:137-151): repeatedly
-    scale by 0.9 (+0.5 rounding) until either side would drop to <= 24."""
+    scale by 0.9 (+0.5 rounding) until either side would drop to <= 24
+    (<= pyr_stop_size for the _fast presets, see FlowParams)."""
+    stop = params.pyr_stop_size or params.pyr_min_image_size
     sizes = [(h, w)]
     while len(sizes) < params.pyr_max_levels:
         ph, pw = sizes[-1]
         nh = int(ph * params.pyr_scale_factor + 0.5)
         nw = int(pw * params.pyr_scale_factor + 0.5)
-        if nh <= params.pyr_min_image_size or nw <= params.pyr_min_image_size:
+        if nh <= stop or nw <= stop:
             break
         sizes.append((nh, nw))
     return sizes

@@ -53,7 +53,7 @@ def extract_overlap(image: jax.Array, canvas_map: jax.Array) -> jax.Array:
 
 def generate_blend(
     canvas_map: jax.Array, cfg: StitchConfig,
-    window: tuple | None = None,
+    window: tuple | None = None, scale: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Seam-blend weight field over the overlap (CPU/StitchTool.cpp:98-191).
 
@@ -97,22 +97,38 @@ def generate_blend(
     step = max(1, min(h, w) // cfg.blend_step_div)
     max_i = w / 2.0  # ray index bound i < cols/2 (CPU/StitchTool.cpp:158)
     none_val = jnp.float32(10.0 * w)  # reference init (CPU/StitchTool.cpp:155)
+    # Decimation factor (cfg.blend_scale): the whole field -- ray scans,
+    # selective smoothing, blurs -- runs on an s-decimated map (codes
+    # survive nearest decimation) with all size-derived constants still
+    # taken from the FULL canvas and distances scaled back to full-pixel
+    # units; only the final field is bilinearly upsampled.  s == 1 is
+    # bit-identical to the reference-exact formulation below.
+    s = cfg.blend_scale_resolved if scale is None else scale
+    step_s = max(1, step // s)
 
-    if window is not None and window[1] < w:
+    windowed = window is not None and window[1] < w
+    if windowed:
         roll, width = window
         center = jnp.roll(canvas_map, -roll, axis=1)[:, :width]
-        d_l = eight_ray_min_distance(center == 100, step, max_i)
-        d_r = eight_ray_min_distance(center == 50, step, max_i)
         out_w = width
     else:
-        length = w // cfg.blend_extend_div
-        ext = im.wrap_extend_x(canvas_map, length)
-        d_l = im.crop_x(eight_ray_min_distance(ext == 100, step, max_i),
-                        length)
-        d_r = im.crop_x(eight_ray_min_distance(ext == 50, step, max_i),
-                        length)
         center = canvas_map
         out_w = w
+    cs = center[::s, ::s] if s > 1 else center
+
+    if windowed:
+        d_l = eight_ray_min_distance(cs == 100, step_s, max_i / s)
+        d_r = eight_ray_min_distance(cs == 50, step_s, max_i / s)
+    else:
+        length_s = (w // cfg.blend_extend_div) // s
+        ext = im.wrap_extend_x(cs, length_s)
+        d_l = im.crop_x(eight_ray_min_distance(ext == 100, step_s,
+                                               max_i / s), length_s)
+        d_r = im.crop_x(eight_ray_min_distance(ext == 50, step_s,
+                                               max_i / s), length_s)
+    if s > 1:
+        d_l = d_l * s
+        d_r = d_r * s
 
     d_l = jnp.where(jnp.isinf(d_l), none_val, d_l)
     d_r = jnp.where(jnp.isinf(d_r), none_val, d_r)
@@ -120,39 +136,45 @@ def generate_blend(
     counted = d_l / (d_l + d_r)
     merged_dis = jnp.minimum(d_l, d_r)
 
-    blend = jnp.where(center == 100, 0.0,
-                      jnp.where(center == 50, 1.0,
-                                jnp.where(center == 150, counted, 0.5)))
-    merged_dis = jnp.where(center == 150, merged_dis, 0.0)
+    blend = jnp.where(cs == 100, 0.0,
+                      jnp.where(cs == 50, 1.0,
+                                jnp.where(cs == 150, counted, 0.5)))
+    merged_dis = jnp.where(cs == 150, merged_dis, 0.0)
+    h_s, out_w_s = blend.shape
 
     # Selective smoothing: blocks whose top-left MergedDis > step get a
     # rows/130 box blur (CPU/StitchTool.cpp:130-142), then a global
     # rows/400 box blur (CPU/StitchTool.cpp:143).
     k_sel = h // cfg.blend_smooth_kernel_div
     if k_sel >= 2:
-        blurred = im.box_blur(blend, k_sel, k_sel)
+        blurred = im.box_blur(blend, max(1, k_sel // s), max(1, k_sel // s))
         # block (by, bx) covers rows [by*step, by*step+step); only blocks
         # fully inside (loop bound y + step < H) are smoothed.  With a
         # step-aligned window the block grid matches the full canvas; the
         # x in-bounds test uses global column ids.
-        hq, wq = h // step, out_w // step
-        sel = merged_dis[: hq * step : step, : wq * step : step] > step
+        hq, wq = h_s // step_s, out_w_s // step_s
+        sel = merged_dis[: hq * step_s : step_s, : wq * step_s : step_s] \
+            > step
         # a block starting at q*step is processed iff q*step + step < dim
-        qy = jnp.arange(hq) * step + step < h
-        if window is not None and window[1] < w:
-            gx = (jnp.arange(wq) * step + window[0]) % w
+        qy = jnp.arange(hq) * step_s + step_s < h_s
+        if windowed:
+            gx = (jnp.arange(wq) * step_s * s + window[0]) % w
             qx = gx + step < w
         else:
-            qx = jnp.arange(wq) * step + step < w
+            qx = jnp.arange(wq) * step_s * s + step < w
         sel = sel & qy[:, None] & qx[None, :]
-        sel_full = jnp.zeros((h, out_w), bool)
-        sel_up = jnp.repeat(jnp.repeat(sel, step, axis=0), step, axis=1)
-        sel_full = sel_full.at[: hq * step, : wq * step].set(sel_up)
+        sel_full = jnp.zeros((h_s, out_w_s), bool)
+        sel_up = jnp.repeat(jnp.repeat(sel, step_s, axis=0), step_s, axis=1)
+        sel_full = sel_full.at[: hq * step_s, : wq * step_s].set(sel_up)
         blend = jnp.where(sel_full, blurred, blend)
 
     k_glob = h // cfg.blend_global_blur_div
     if k_glob >= 2:
-        blend = im.box_blur(blend, k_glob, k_glob)
+        blend = im.box_blur(blend, max(1, k_glob // s), max(1, k_glob // s))
+
+    if s > 1:
+        blend = im.resize(blend, (h, out_w), "linear")
+        merged_dis = im.resize(merged_dis, (h, out_w), "linear")
 
     return blend.astype(jnp.float32), merged_dis
 

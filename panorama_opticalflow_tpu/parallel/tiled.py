@@ -136,6 +136,20 @@ class TileConfig:
     shardmap_relax_kernels: bool = False
     shardmap_fused_blurs: bool = False
     shardmap_warp_kernel: bool = True
+    # When to host-sync on the miscompile canary (round 5).  The sync
+    # costs one tunnel RPC (~40-100 ms) per call, which measured as
+    # most of the +42% tiled-vs-untiled wall overhead at 2250/4500
+    # (probe_hybrid_flow_4500.log: device-side hybrid flow is only
+    # ~+8%).  "auto" (default) syncs on each jitted program's FIRST
+    # execution -- the Mosaic miscompile classes seen so far are
+    # per-program, not per-data, so the first run catches them before
+    # any output escapes -- and defers later executions' checks to the
+    # next tiled_stitch_pair call (or an explicit
+    # flush_canary_checks()), restoring dispatch overlap.  "sync"
+    # checks every call before returning (r4 behavior); "defer" never
+    # blocks (detection lags one call; a corrupted output can escape
+    # before the fallback engages); "off" builds no canary at all.
+    canary_mode: str = "auto"
 
     @classmethod
     def for_params(cls, params: FlowParams, **kw) -> "TileConfig":
@@ -1050,6 +1064,44 @@ def _post_flow_body(image_l, image_r, fl, fr, flr, frl, blend, roll=None, *,
 # -> shardmap with kernels off.
 _hybrid_tripped = False
 _mosaic_shardmap_tripped = False
+# Deferred canary checks (TileConfig.canary_mode "auto"/"defer"): each
+# entry is (bad_scalar, was_hybrid).  Drained (all but the newest) at
+# the next tiled_stitch_pair call, or fully by flush_canary_checks().
+_pending_canaries: list = []
+# Programs whose first execution has been canary-synced ("auto" mode).
+_synced_programs: set = set()
+
+
+def _drain_canaries(keep_newest: bool = True) -> int:
+    """Check deferred canaries; returns the number that tripped.  A
+    deferred trip cannot re-run its (already returned) output -- it
+    flips the fallback ladder for FUTURE calls and logs an error."""
+    global _hybrid_tripped, _mosaic_shardmap_tripped
+    import logging
+
+    log = logging.getLogger(__name__)
+    tripped = 0
+    while len(_pending_canaries) > (1 if keep_newest else 0):
+        bad, was_hybrid = _pending_canaries.pop(0)
+        if int(bad) > 0:
+            tripped += 1
+            kind = "hybrid" if was_hybrid else "kernels-on shard_map"
+            log.error(
+                "DEFERRED canary trip: a %s sharded stitch produced "
+                "non-finite flow (%d values) and its output was already "
+                "returned; falling back for future calls "
+                "(TileConfig.canary_mode)", kind, int(bad))
+            if was_hybrid:
+                _hybrid_tripped = True
+            else:
+                _mosaic_shardmap_tripped = True
+    return tripped
+
+
+def flush_canary_checks() -> int:
+    """Drain ALL pending deferred canary checks (e.g. at chain end);
+    returns the number that tripped."""
+    return _drain_canaries(keep_newest=False)
 
 
 def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
@@ -1066,10 +1118,13 @@ def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
     stitch_pair_auto's work-saving crop; pass it to avoid full-canvas
     flow/blend/combine work.
 
-    Kernels-on calls host-sync on the canary scalar before returning
-    (intentional: a corrupted pair must not feed the next chain stage;
-    the workload is ~98% device-bound so the lost dispatch overlap is
-    noise -- revisit only if chain overlap ever dominates).
+    Canary syncing (r5, TileConfig.canary_mode): in the default "auto"
+    mode only a program's FIRST execution host-syncs on the canary
+    scalar (the known Mosaic miscompile classes are per-program, so the
+    first run catches them before any output escapes); later calls
+    defer their check to the next call / flush_canary_checks(),
+    restoring dispatch overlap (the per-call sync RPC was most of the
+    r4 +40% tiled-wall overhead, probe_hybrid_flow_4500.log).
     """
     global _hybrid_tripped, _mosaic_shardmap_tripped
     h, w = image_l.shape[:2]
@@ -1097,7 +1152,8 @@ def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
         # only; finite-but-wrong output needs the reference-binary
         # head-to-head gate (see TileConfig docstring).
         health = (tc_used.flow_mode == "hybrid"
-                  or tc_used.use_pallas_in_shardmap)
+                  or tc_used.use_pallas_in_shardmap) \
+            and tc_used.canary_mode != "off"
         if window is not None and window[1] < w:
             roll, width, gsafe = (window if len(window) == 3
                                   else (*window, False))
@@ -1108,30 +1164,42 @@ def tiled_stitch_pair(image_l: jax.Array, image_r: jax.Array,
             fn = _tiled_stitch_jit(mesh, axis, n, h, cfg, tc_used, None,
                                    False, health)
             out = fn(lp, rp)
-        return out if health else (out, None)
+        return (out if health else (out, None)) + (fn,)
 
-    out, bad = call(tc)
-    if bad is not None and int(bad) > 0:
-        import logging
+    out, bad, fn = call(tc)
+    if bad is not None:
+        sync_now = tc.canary_mode == "sync" or (
+            tc.canary_mode == "auto" and id(fn) not in _synced_programs)
+        if not sync_now:
+            _pending_canaries.append((bad, tc.flow_mode == "hybrid"))
+            _drain_canaries()      # blocks on OLDER entries only
+        else:
+            _synced_programs.add(id(fn))
+            if int(bad) > 0:
+                import logging
 
-        log = logging.getLogger(__name__)
-        if tc.flow_mode == "hybrid":
-            log.error(
-                "non-finite flow from the hybrid sharded stitch "
-                "(%d values): falling back to the in-shard_map path "
-                "for this process (see TileConfig.flow_mode)", int(bad))
-            _hybrid_tripped = True
-            tc = dataclasses.replace(tc, flow_mode="shardmap")
-            out, bad = call(tc)
-        if bad is not None and int(bad) > 0:
-            log.error(
-                "non-finite flow from the kernels-on sharded stitch "
-                "(%d values): Mosaic-in-shard_map miscompile detected; "
-                "falling back to the jnp sharded path for this process "
-                "(see TileConfig.use_pallas_in_shardmap)", int(bad))
-            _mosaic_shardmap_tripped = True
-            out, _ = call(dataclasses.replace(
-                tc, use_pallas_in_shardmap=False))
+                log = logging.getLogger(__name__)
+                if tc.flow_mode == "hybrid":
+                    log.error(
+                        "non-finite flow from the hybrid sharded stitch "
+                        "(%d values): falling back to the in-shard_map "
+                        "path for this process (see TileConfig.flow_mode)",
+                        int(bad))
+                    _hybrid_tripped = True
+                    tc = dataclasses.replace(tc, flow_mode="shardmap")
+                    out, bad, fn2 = call(tc)
+                    _synced_programs.add(id(fn2))
+                if bad is not None and int(bad) > 0:
+                    log.error(
+                        "non-finite flow from the kernels-on sharded "
+                        "stitch (%d values): Mosaic-in-shard_map "
+                        "miscompile detected; falling back to the jnp "
+                        "sharded path for this process "
+                        "(see TileConfig.use_pallas_in_shardmap)",
+                        int(bad))
+                    _mosaic_shardmap_tripped = True
+                    out, _, _ = call(dataclasses.replace(
+                        tc, use_pallas_in_shardmap=False))
     return out[:h]
 
 

@@ -32,6 +32,17 @@ class FlowParams:
     # Solver constants (CPU/PixFlow.hpp:32-44)
     pyr_min_image_size: int = 24
     pyr_max_levels: int = 1000
+    # Pyramid floor override (framework extension, r5): stop the
+    # pyramid when either side would drop to <= this instead of
+    # pyr_min_image_size (0 = use pyr_min_image_size, the reference
+    # rule).  The sub-0.1 MP tail levels are pure per-level overhead on
+    # TPU (~8-13 ms each regardless of area, probe_tail_levels.log)
+    # while carrying almost no alignment information at production
+    # canvas scales; the _fast presets raise the floor to 64 px
+    # (SSIM-gated against the reference binary like every _fast
+    # deviation).  pyr_min_image_size itself stays untouched because
+    # search_distance derives from it (reference semantics).
+    pyr_stop_size: int = 0
     grad_epsilon: float = 0.001
     update_alpha_threshold: float = 0.9
     median_blur_size: int = 5
@@ -188,16 +199,21 @@ def flow_params_by_name(name: str) -> FlowParams:
     elif base == "pixflow_search_20":
         p = FlowParams(max_percentage=20)
     elif base == "pixflow_low_fast":
-        p = FlowParams(max_percentage=0, pyr_scale_factor=0.8)
+        p = FlowParams(max_percentage=0, pyr_scale_factor=0.8,
+                       pyr_stop_size=64)
     elif base == "pixflow_search_20_fast":
-        p = FlowParams(max_percentage=20, pyr_scale_factor=0.8)
+        p = FlowParams(max_percentage=20, pyr_scale_factor=0.8,
+                       pyr_stop_size=64)
     else:
         raise ValueError(f"unrecognized flow algorithm name: {name}")
     if sep:
         # compile-time modifier: "<preset>+pairK" pairs the fine unrolled
-        # pyramid levels into K-level scan rungs (see scan_fine_rung_levels)
+        # pyramid levels into K-level scan rungs (see scan_fine_rung_levels);
+        # "<preset>+stopN" overrides the pyramid floor (pyr_stop_size)
         if mod.startswith("pair") and mod[4:].isdigit():
             p = dataclasses.replace(p, scan_fine_rung_levels=int(mod[4:]))
+        elif mod.startswith("stop") and mod[4:].isdigit():
+            p = dataclasses.replace(p, pyr_stop_size=int(mod[4:]))
         else:
             raise ValueError(f"unrecognized flow algorithm modifier: {mod}")
     return p
@@ -223,6 +239,22 @@ class StitchConfig:
     blend_global_blur_div: int = 400    # final global box blur = rows//400
     # Gather hole-search radius (CPU/StitchTool.cpp:77)
     gather_search_radius: int = 100
+    # Blend-field resolution divisor (framework extension, r5).  The
+    # blend weights are a smooth field by construction -- ray-distance
+    # ratios followed by a rows/130 selective blur and a rows/400
+    # global blur (CPU/StitchTool.cpp:127-143) -- so computing the
+    # field on an s-decimated canvas map and bilinearly upsampling the
+    # result is visually lossless while cutting the stage cost ~s^2
+    # (the blend stage is ~70 ms/pair of the 36 MP headline,
+    # bench_chain_r5.log).  0 = auto: 2 for the `_fast` presets
+    # (SSIM-gated extensions), 1 (reference-exact field) otherwise.
+    blend_scale: int = 0
+
+    @property
+    def blend_scale_resolved(self) -> int:
+        if self.blend_scale:
+            return self.blend_scale
+        return 2 if "_fast" in self.flow_alg else 1
 
     @property
     def flow_params(self) -> FlowParams:

@@ -109,3 +109,28 @@ def test_gather_composite_matches_oracle(rng):
     ours = np.asarray(stitcher.gather_composite(m, l, r, merged, cfg))
     ref = oracle.gather_loop(m, l, r, merged)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_generate_blend_half_scale_close_to_exact(rng):
+    """The r5 fast-preset blend decimation (StitchConfig.blend_scale):
+    the half-resolution field must track the reference-exact one
+    closely after the smoothing stack -- it feeds a crossfade, so the
+    gate is field-level closeness, not bit-equality."""
+    l, r = _synthetic_pair(rng, h=400, w=800)
+    m = stitcher.match_images(l, r)
+    cfg = StitchConfig()
+    exact, _ = stitcher.generate_blend(m, cfg, scale=1)
+    half, _ = stitcher.generate_blend(m, cfg, scale=2)
+    e, hv = np.asarray(exact), np.asarray(half)
+    assert hv.shape == e.shape
+    assert abs(float(np.mean(hv)) - float(np.mean(e))) < 0.01
+    assert float(np.abs(hv - e).mean()) < 0.02, np.abs(hv - e).mean()
+    # pure regions are exact
+    mm = np.asarray(m)
+    np.testing.assert_allclose(hv[mm == 100], e[mm == 100], atol=2e-2)
+
+    # auto-resolution: _fast presets decimate, parity preset never does
+    assert StitchConfig(flow_alg="pixflow_low_fast").blend_scale_resolved == 2
+    assert StitchConfig(flow_alg="pixflow_low").blend_scale_resolved == 1
+    assert StitchConfig(flow_alg="pixflow_low_fast",
+                        blend_scale=1).blend_scale_resolved == 1

@@ -1,6 +1,7 @@
 """Tiled (row-sharded, halo-exchange) pipeline vs the untiled program on
 an 8-virtual-device CPU mesh (SURVEY.md section 4 test strategy)."""
 
+import dataclasses
 import math
 from functools import partial
 
@@ -237,3 +238,37 @@ def test_tiled_stitch_jit_program_is_cached():
     fn = tiled._tiled_stitch_jit(mesh, AXIS, N, h, cfg, tc, None, False,
                                  tc.use_pallas_in_shardmap)
     assert fn._cache_size() == 1, fn._cache_size()
+
+
+def test_canary_auto_syncs_first_then_defers():
+    """r5 canary_mode='auto': a program's first execution is checked
+    synchronously; later executions enqueue a deferred check that the
+    next call (or flush_canary_checks) drains."""
+    mesh = make_mesh(N)
+    h, w = 64, 160
+    photos = pio.synthesize_four_input_set(h, w, seed=2)
+    il, ir = pipeline.compose_four(jnp.stack([jnp.asarray(p)
+                                              for p in photos]))
+    cfg = StitchConfig()
+    tc = tiled.TileConfig(min_tiled_rows=8, level_halo=32)
+    assert tc.canary_mode == "auto"
+    tiled._pending_canaries.clear()
+    tiled._synced_programs.clear()
+    np.asarray(tiled.tiled_stitch_pair(il, ir, cfg, mesh, AXIS, tc))
+    assert len(tiled._synced_programs) == 1      # first call synced
+    assert not tiled._pending_canaries
+    np.asarray(tiled.tiled_stitch_pair(il, ir, cfg, mesh, AXIS, tc))
+    assert len(tiled._pending_canaries) == 1     # second call deferred
+    np.asarray(tiled.tiled_stitch_pair(il, ir, cfg, mesh, AXIS, tc))
+    assert len(tiled._pending_canaries) == 1     # drained older entry
+    assert tiled.flush_canary_checks() == 0
+    assert not tiled._pending_canaries
+    # sync mode never defers; off builds no canary
+    out = np.asarray(tiled.tiled_stitch_pair(
+        il, ir, cfg, mesh, AXIS,
+        dataclasses.replace(tc, canary_mode="sync")))
+    assert not tiled._pending_canaries
+    out_off = np.asarray(tiled.tiled_stitch_pair(
+        il, ir, cfg, mesh, AXIS,
+        dataclasses.replace(tc, canary_mode="off")))
+    np.testing.assert_array_equal(out, out_off)
