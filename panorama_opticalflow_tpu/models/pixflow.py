@@ -20,6 +20,8 @@ do not reproduce.
 
 from __future__ import annotations
 
+import dataclasses
+
 from functools import partial
 
 import jax
@@ -527,7 +529,23 @@ def patch_match_level(
     i1g = jnp.stack([i1x, i1y], axis=-1)
 
     coarsest = flow is None
-    if coarsest:
+    if coarsest and _sub_floor_sizes(*i0.shape, params):
+        # raised pyramid floor: init on a reference-floor twin, refine
+        # here on the fast path (see patch_match_level_batched)
+        tiny = _sub_floor_sizes(*i0.shape, params)
+        planes = jnp.stack([i0, i1, alpha0, alpha1])
+        for s in tiny:
+            planes = jax.vmap(lambda x, s=s: im.resize(x, s, "linear"))(
+                planes)
+        f_t = patch_match_level(planes[0], planes[1], planes[2], planes[3],
+                                None, hint,
+                                dataclasses.replace(params, pyr_stop_size=0))
+        hh, ww = i0.shape
+        th, tw = tiny[-1]
+        up = im.resize(f_t, (hh, ww), "cubic")
+        flow = up * jnp.array([ww / tw, hh / th], jnp.float32)
+        coarsest = False
+    elif coarsest:
         # 0*i0 ties the init to the input's device-varying type so the
         # relaxation scan carry is consistent under shard_map
         flow = jnp.zeros(i0.shape + (2,), jnp.float32) + 0.0 * i0[..., None]
@@ -537,6 +555,20 @@ def patch_match_level(
     out = _level_core(i0x[None], i0y[None], i1g[None], alpha0[None],
                       alpha1[None], flow[None], params, coarsest)
     return out[0]
+
+
+def _sub_floor_sizes(h: int, w: int,
+                     params: FlowParams) -> list[tuple[int, int]]:
+    """Sizes strictly below a raised pyramid floor (FlowParams.
+    pyr_stop_size), continuing the scale cascade from (h, w) down to
+    the reference's pyr_min_image_size rule; [] when the floor is not
+    raised or (h, w) already sits at the reference floor.  Used by the
+    coarsest-level init-floor solve (patch_match_level[_batched])."""
+    if not params.pyr_stop_size or \
+            params.pyr_stop_size <= params.pyr_min_image_size:
+        return []
+    return pyramid_sizes(
+        h, w, dataclasses.replace(params, pyr_stop_size=0))[1:]
 
 
 def _preprocess(rgba: jax.Array, params: FlowParams,
@@ -649,7 +681,29 @@ def patch_match_level_batched(
     a0, a1 = alphas, alphas[::-1]
 
     coarsest = flow is None
-    if coarsest:
+    if coarsest and _sub_floor_sizes(*imgs.shape[1:], params):
+        # raised pyramid floor (pyr_stop_size, _fast presets): run the
+        # zero/search init + exact relaxation on a <=pyr_min_image_size
+        # twin of this level (identical cost to the reference-rule
+        # coarsest -- the exact path is iteration-latency-bound and
+        # scales badly with area, probe_coarsest.log), then refine THIS
+        # level as a normal fast-path level off the upsampled init.
+        tiny = _sub_floor_sizes(*imgs.shape[1:], params)
+        imgs_t, alphas_t = imgs, alphas
+        for s in tiny:  # progressive, like the reference pyramid build
+            imgs_t = jax.vmap(lambda x, s=s: im.resize(x, s, "linear"))(
+                imgs_t)
+            alphas_t = jax.vmap(lambda x, s=s: im.resize(x, s, "linear"))(
+                alphas_t)
+        f_t = patch_match_level_batched(
+            imgs_t, alphas_t, None, hints,
+            dataclasses.replace(params, pyr_stop_size=0), knd)
+        hh, ww = imgs.shape[1:]
+        th, tw = tiny[-1]
+        up = jax.vmap(lambda f: im.resize(f, (hh, ww), "cubic"))(f_t)
+        flow = up * jnp.array([ww / tw, hh / th], jnp.float32)
+        coarsest = False
+    elif coarsest:
         flows = []
         for b, hint in enumerate(hints):
             f = jnp.zeros(imgs.shape[1:] + (2,), jnp.float32) \
