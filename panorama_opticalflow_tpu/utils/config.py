@@ -190,9 +190,14 @@ def flow_params_by_name(name: str) -> FlowParams:
     ``pixflow_low`` / ``pixflow_search_20`` mirror the reference presets
     exactly.  ``pixflow_low_fast`` / ``pixflow_search_20_fast`` are
     framework extensions: a 0.8-factor pyramid (~20 levels instead of
-    ~42) halves per-level launch count and cuts pyramid work ~1.9x;
-    output is SSIM-gated against the reference binary
-    (tools/compare_reference.py --flow_alg ..._fast)."""
+    ~42), a 64 px pyramid floor with a reference-floor init solve
+    (pyr_stop_size + the init-floor refine, models/pixflow), and a
+    single coarsest-init relax phase (1x15 Jacobi iters, vs the
+    reference GPU's own 10 rounds/level); with StitchConfig's
+    half-resolution blend field these cut the 36 MP headline ~1.5x.
+    Output is SSIM-gated against the reference binary at 2250x1000 AND
+    9000x4000 (tools/compare_reference.py --flow_alg ..._fast;
+    r5: 0.9991 / 0.9992)."""
     base, sep, mod = name.partition("+")
     if base == "pixflow_low":
         p = FlowParams(max_percentage=0)
@@ -200,10 +205,10 @@ def flow_params_by_name(name: str) -> FlowParams:
         p = FlowParams(max_percentage=20)
     elif base == "pixflow_low_fast":
         p = FlowParams(max_percentage=0, pyr_scale_factor=0.8,
-                       pyr_stop_size=64)
+                       pyr_stop_size=64, coarsest_relax_phases=1)
     elif base == "pixflow_search_20_fast":
         p = FlowParams(max_percentage=20, pyr_scale_factor=0.8,
-                       pyr_stop_size=64)
+                       pyr_stop_size=64, coarsest_relax_phases=1)
     else:
         raise ValueError(f"unrecognized flow algorithm name: {name}")
     if sep:
@@ -214,6 +219,9 @@ def flow_params_by_name(name: str) -> FlowParams:
             p = dataclasses.replace(p, scan_fine_rung_levels=int(mod[4:]))
         elif mod.startswith("stop") and mod[4:].isdigit():
             p = dataclasses.replace(p, pyr_stop_size=int(mod[4:]))
+        elif mod.startswith("cph") and mod[3:].isdigit():
+            # coarsest-init relax phases (fast-preset experiments)
+            p = dataclasses.replace(p, coarsest_relax_phases=int(mod[3:]))
         else:
             raise ValueError(f"unrecognized flow algorithm modifier: {mod}")
     return p
